@@ -1,0 +1,128 @@
+"""librosa-compatible audio feature frontend, XLA/MXU formulation.
+
+Implements the [BASELINE] op chain — STFT (hann, centered reflect padding)
+-> power spectrum -> slaney mel filterbank -> power_to_db -> ortho DCT-II
+(MFCC) -> per-clip normalization — as a chain of batched matmuls against
+precomputed constants (see ``filters.py``):
+
+    frames [B*T, n_fft] @ (window-fused DFT) -> power [B*T, n_freqs]
+           @ mel_T -> mel power [B*T, n_mels]
+           -> log -> @ dct_T -> mfcc [B*T, n_mfcc]
+
+This is the TPU-native shape of an audio frontend: every hot op is an MXU
+matmul over large [B*T, ...] panels, with the elementwise log/normalize
+fused in by XLA. A Pallas-fused variant lives in ``pallas_frontend.py``
+behind the same API; parity tests in tests/test_audio_parity.py gate both
+against the independent numpy oracle at rtol 1e-4 [BASELINE tolerance].
+
+Matmuls use ``Precision.HIGHEST`` so TPU results match the float64 oracle
+within the gate (the MXU would otherwise downcast f32 operands to bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .filters import frontend_constants
+from .params import AudioConfig
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _as_batched(y: jax.Array) -> tuple[jax.Array, bool]:
+    if y.ndim == 1:
+        return y[None, :], True
+    if y.ndim == 2:
+        return y, False
+    raise ValueError(f"waveform must be [L] or [B, L], got shape {y.shape}")
+
+
+def frame_signal(y: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """[B, L] waveform -> [B, T, n_fft] raw (un-windowed) frames.
+
+    center=True: reflect- (or zero-) pad n_fft//2 on both sides, then slice
+    frames at hop_length intervals — librosa.stft framing semantics.
+    """
+    b, length = y.shape
+    if cfg.center:
+        p = cfg.n_fft // 2
+        y = jnp.pad(y, ((0, 0), (p, p)), mode=cfg.pad_mode if cfg.pad_mode != "constant" else "constant")
+    n_frames = cfg.num_frames(length)
+    starts = jnp.arange(n_frames) * cfg.hop_length
+    idx = starts[:, None] + jnp.arange(cfg.n_fft)[None, :]
+    return y[:, idx]
+
+
+def stft_power(y: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """[B, L] -> [B, T, n_freqs] power spectrogram |STFT|^power."""
+    c = frontend_constants(cfg)
+    frames = frame_signal(y, cfg)
+    re = jnp.matmul(frames, c["dft_cos"], precision=_HI)
+    im = jnp.matmul(frames, c["dft_sin"], precision=_HI)
+    power = re * re + im * im
+    if cfg.power != 2.0:
+        power = jnp.power(jnp.sqrt(power), cfg.power)
+    return power
+
+
+def melspectrogram(y: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """[B, L] -> [B, T, n_mels] mel power spectrogram (time-major)."""
+    c = frontend_constants(cfg)
+    power = stft_power(y, cfg)
+    return jnp.matmul(power, c["mel_T"], precision=_HI)
+
+
+def power_to_db(s: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """librosa.power_to_db with per-clip top_db clipping.
+
+    ``s`` is [B, T, F]; the top_db reference max is taken per clip (over the
+    T and F axes), matching librosa's whole-spectrogram max on 2D input.
+    """
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, s))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(cfg.amin, cfg.ref_db))
+    if cfg.top_db is not None:
+        peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - cfg.top_db)
+    return log_spec
+
+
+def mfcc(y: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """[B, L] -> [B, T, n_mfcc] MFCCs (time-major)."""
+    c = frontend_constants(cfg)
+    logmel = power_to_db(melspectrogram(y, cfg), cfg)
+    return jnp.matmul(logmel, c["dct_T"], precision=_HI)
+
+
+def normalize_per_clip(feats: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """Zero-mean / unit-variance per feature channel over time [BASELINE]."""
+    mean = jnp.mean(feats, axis=-2, keepdims=True)
+    var = jnp.var(feats, axis=-2, keepdims=True)
+    return (feats - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+
+
+def extract_features(y: jax.Array, cfg: AudioConfig = AudioConfig()) -> jax.Array:
+    """Full frontend: [B, L] (or [L]) waveform -> [B, T, F] (or [T, F]).
+
+    F = cfg.n_mfcc for feature_type="mfcc", cfg.n_mels for "logmel".
+    This is the public feature contract consumed by the dataset, models and
+    inference API ("same feature shapes" [BASELINE]).
+    """
+    yb, squeeze = _as_batched(y)
+    if cfg.feature_type == "mfcc":
+        feats = mfcc(yb, cfg)
+    elif cfg.feature_type == "logmel":
+        feats = power_to_db(melspectrogram(yb, cfg), cfg)
+    else:
+        raise ValueError(f"unknown feature_type: {cfg.feature_type}")
+    if cfg.normalize:
+        feats = normalize_per_clip(feats, cfg)
+    return feats[0] if squeeze else feats
+
+
+@functools.lru_cache(maxsize=8)
+def jit_extract_features(cfg: AudioConfig):
+    """A jitted [B, L] -> [B, T, F] extractor specialized to ``cfg``."""
+    return jax.jit(functools.partial(extract_features, cfg=cfg))
