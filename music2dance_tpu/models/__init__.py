@@ -1,0 +1,31 @@
+"""Sequence models: generator and critic over pose sequences."""
+
+from .configs import (
+    DiscriminatorConfig,
+    GANConfig,
+    GeneratorConfig,
+    JointLayout,
+    full_gan,
+    tiny_gan,
+)
+from .cells import GRUCell, LSTMCell, RNNCore, init_rnn_carry, num_gates
+from .generator import Generator, generator_init_carry
+from .discriminator import Discriminator, discriminator_init_carry
+
+__all__ = [
+    "DiscriminatorConfig",
+    "GANConfig",
+    "GeneratorConfig",
+    "JointLayout",
+    "full_gan",
+    "tiny_gan",
+    "GRUCell",
+    "LSTMCell",
+    "RNNCore",
+    "init_rnn_carry",
+    "num_gates",
+    "Generator",
+    "generator_init_carry",
+    "Discriminator",
+    "discriminator_init_carry",
+]

@@ -1,0 +1,99 @@
+"""Model configuration dataclasses.
+
+Everything is config-driven (SURVEY.md §7 "hard parts" #6: keep model/loss
+code config-driven so a differing real reference architecture is absorbed
+by config changes, not rewrites). The named presets mirror BASELINE.json:
+``tiny`` = "1-layer recurrent G+D" (config #2), ``full`` = "full reference
+G/D architecture" (config #3).
+
+The joint layout is configurable; the reference layout is unknowable this
+round (empty mount, SURVEY.md §0), so the default is 23 joints x 3D,
+recorded in the checkpoint so converted checkpoints carry their layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class JointLayout:
+    """Pose output contract: [T, n_joints, joint_dim] frames [BASELINE]."""
+
+    n_joints: int = 23
+    joint_dim: int = 3
+
+    @property
+    def pose_dim(self) -> int:
+        return self.n_joints * self.joint_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    layout: JointLayout = JointLayout()
+    feature_dim: int = 20          # = AudioConfig.n_features
+    noise_dim: int = 32            # per-sequence latent z
+    # conv audio encoder (runs over the full sequence, outside the scan)
+    enc_dim: int = 128
+    enc_layers: int = 2
+    enc_kernel: int = 5
+    # recurrent core
+    hidden_dim: int = 512
+    rnn_layers: int = 2
+    cell: str = "gru"              # "gru" | "lstm" (torch-compatible gate order)
+    # pose head MLP
+    head_hidden: int = 256
+    residual_pose: bool = True     # predict pose deltas, integrate over time
+    autoregressive: bool = True    # feed previous pose back into the core
+
+    @property
+    def pose_dim(self) -> int:
+        return self.layout.pose_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    layout: JointLayout = JointLayout()
+    feature_dim: int = 20
+    conditional: bool = True       # condition the critic on audio features
+    # temporal conv stack
+    conv_dim: int = 128
+    conv_layers: int = 2
+    conv_kernel: int = 5
+    # recurrent core
+    hidden_dim: int = 512
+    rnn_layers: int = 1
+    cell: str = "gru"
+
+    @property
+    def pose_dim(self) -> int:
+        return self.layout.pose_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    generator: GeneratorConfig = GeneratorConfig()
+    discriminator: DiscriminatorConfig = DiscriminatorConfig()
+
+
+def tiny_gan(feature_dim: int = 20, layout: JointLayout = JointLayout()) -> GANConfig:
+    """BASELINE config #2: 1-layer recurrent G+D (degenerate but meaningful)."""
+    return GANConfig(
+        generator=GeneratorConfig(
+            layout=layout, feature_dim=feature_dim, noise_dim=8,
+            enc_dim=32, enc_layers=1, hidden_dim=64, rnn_layers=1,
+            head_hidden=32,
+        ),
+        discriminator=DiscriminatorConfig(
+            layout=layout, feature_dim=feature_dim,
+            conv_dim=32, conv_layers=1, hidden_dim=64, rnn_layers=1,
+        ),
+    )
+
+
+def full_gan(feature_dim: int = 20, layout: JointLayout = JointLayout()) -> GANConfig:
+    """BASELINE config #3: the full G/D architecture."""
+    return GANConfig(
+        generator=GeneratorConfig(layout=layout, feature_dim=feature_dim),
+        discriminator=DiscriminatorConfig(layout=layout, feature_dim=feature_dim),
+    )

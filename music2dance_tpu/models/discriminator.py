@@ -1,0 +1,92 @@
+"""Critic: pose sequence (optionally audio-conditioned) -> scalar score.
+
+Capability contract [BASELINE]: "discriminator ... recurrent/conv stacks
+over pose sequences"; the gradient-penalty objective makes it a WGAN
+critic (unbounded scalar output, no sigmoid, no batch norm).
+
+TPU-first structure: the critic has NO autoregressive feedback, so its
+ENTIRE input path — conv stack + layer-0 input projection — is computed
+over the full sequence outside the scan. The per-step body is purely the
+hidden-side cell matmuls. Per-step scores are averaged over time (denser
+critic signal than last-state-only, and it keeps the gradient-penalty
+gradient spread across all frames).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .cells import RNNCore, init_rnn_carry, num_gates
+from .configs import DiscriminatorConfig
+
+Carry = Any
+
+
+class DiscStep(nn.Module):
+    cfg: DiscriminatorConfig
+
+    @nn.compact
+    def __call__(self, carry, gi0_t):
+        carry, h_top = RNNCore(
+            self.cfg.hidden_dim, self.cfg.rnn_layers, self.cfg.cell, name="core"
+        )(carry, gi0_t)
+        score_t = nn.Dense(1, name="score")(h_top)  # [B, 1]
+        return carry, score_t
+
+
+class Discriminator(nn.Module):
+    """D(poses [B,T,P], feats [B,T,F]) -> score [B]."""
+
+    cfg: DiscriminatorConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        poses: jax.Array,
+        feats: Optional[jax.Array] = None,
+        carry: Optional[Carry] = None,
+        return_carry: bool = False,
+    ):
+        cfg = self.cfg
+        b, t, _ = poses.shape
+        g = num_gates(cfg.cell)
+
+        x = poses
+        if cfg.conditional:
+            if feats is None:
+                raise ValueError("conditional critic requires audio features")
+            x = jnp.concatenate([poses, feats], axis=-1)
+
+        for l in range(cfg.conv_layers):
+            x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME", name=f"conv_{l}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+
+        gi = nn.Dense(g * cfg.hidden_dim, name="ih0")(x)  # hoisted: [B,T,G*H]
+
+        if carry is None:
+            carry = self.init_carry(b)
+
+        scan = nn.scan(
+            DiscStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry_out, scores = scan(cfg, name="step")(carry, gi)  # scores [B,T,1]
+        score = jnp.mean(scores, axis=(1, 2))                  # [B]
+        if return_carry:
+            return score, carry_out
+        return score
+
+    def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
+        cfg = self.cfg
+        return init_rnn_carry(cfg.cell, cfg.rnn_layers, batch, cfg.hidden_dim, dtype)
+
+
+def discriminator_init_carry(cfg: DiscriminatorConfig, batch: int, dtype=jnp.float32) -> Carry:
+    return init_rnn_carry(cfg.cell, cfg.rnn_layers, batch, cfg.hidden_dim, dtype)
