@@ -1,0 +1,18 @@
+"""Training: WGAN-GP losses, jitted alternating step, TBPTT, loop."""
+
+from .config import TrainConfig
+from .losses import critic_loss, generator_loss, gradient_penalty, critic_gradient_norms
+from .step import TrainState, init_state, jit_train_step, make_optimizers, make_train_step
+
+__all__ = [
+    "TrainConfig",
+    "critic_loss",
+    "generator_loss",
+    "gradient_penalty",
+    "critic_gradient_norms",
+    "TrainState",
+    "init_state",
+    "jit_train_step",
+    "make_optimizers",
+    "make_train_step",
+]

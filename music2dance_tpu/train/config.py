@@ -1,0 +1,33 @@
+"""Training hyperparameter configuration.
+
+The objective family is pinned by [BASELINE]: "alternating GAN train step
+(G loss, D loss, gradient penalty)" — i.e. WGAN-GP. Exact hyperparameters
+are unknowable this round (empty reference mount, SURVEY.md §0); defaults
+follow the WGAN-GP paper conventions (lambda=10, Adam(0.5/0.9)) and every
+value is config-driven.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    clip_seconds: float = 6.0
+    # optimizers
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    # objective
+    lambda_gp: float = 10.0
+    n_critic: int = 1              # D updates per alternating step
+    drift_eps: float = 0.0         # optional critic drift term e*E[D(real)^2]
+    continuity_weight: float = 0.0  # optional G smoothness aux loss
+    # truncated BPTT (0 = disabled; BASELINE config #4 uses 30 s clips)
+    tbptt_window: int = 0
+    # checkpointing / logging cadence
+    ckpt_every: int = 500
+    log_every: int = 50

@@ -1,0 +1,164 @@
+"""The jit-compiled alternating WGAN-GP train step.
+
+One call = ``n_critic`` critic updates + 1 generator update on the same
+batch — "one full alternating train step" [BASELINE]. Both phases live in
+ONE jitted function with two independent optax states; there is no
+``.detach()`` mutation idiom — the fake batch is ``stop_gradient``-ed for
+the critic phase and the critic parameters are simply not differentiated
+in the generator phase (SURVEY.md §7 hard part #3).
+
+Data parallelism: the step takes an optional ``axis_name``; when set (by
+``music2dance_tpu.parallel.dp.shard_train_step``) gradients and metrics
+are ``pmean``-ed across the mesh and the RNG is decorrelated per shard.
+The step body is mesh-size-agnostic — the same code runs on 1 device and
+on a pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import Discriminator, Generator, GANConfig
+from .config import TrainConfig
+from .losses import critic_loss, generator_loss, gradient_penalty
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    opt_g: Any
+    opt_d: Any
+    rng: jax.Array
+
+
+def make_optimizers(tc: TrainConfig) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    tx_g = optax.adam(tc.lr_g, b1=tc.adam_b1, b2=tc.adam_b2)
+    tx_d = optax.adam(tc.lr_d, b1=tc.adam_b1, b2=tc.adam_b2)
+    return tx_g, tx_d
+
+
+def init_state(
+    key: jax.Array,
+    gan: GANConfig,
+    tc: TrainConfig,
+    sample_batch: dict,
+) -> TrainState:
+    """Build params + optimizer states from a (possibly tiny) sample batch."""
+    gen = Generator(gan.generator)
+    disc = Discriminator(gan.discriminator)
+    feats, poses = sample_batch["feats"], sample_batch["poses"]
+    kg, kd, kz, krest = jax.random.split(key, 4)
+    z = jax.random.normal(kz, (feats.shape[0], gan.generator.noise_dim))
+    g_params = gen.init(kg, feats, z)
+    d_params = disc.init(kd, poses, feats if gan.discriminator.conditional else None)
+    tx_g, tx_d = make_optimizers(tc)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        opt_g=tx_g.init(g_params),
+        opt_d=tx_d.init(d_params),
+        rng=krest,
+    )
+
+
+def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
+    """Build ``train_step(state, batch) -> (state, metrics)``.
+
+    ``batch``: {"feats": [B,T,F], "poses": [B,T,P]}. The returned function
+    is pure and jittable; callers decide whether to wrap it in ``jax.jit``
+    directly (single device) or in ``shard_map`` (DP over a mesh).
+    """
+    gen = Generator(gan.generator)
+    disc = Discriminator(gan.discriminator)
+    tx_g, tx_d = make_optimizers(tc)
+    cond = gan.discriminator.conditional
+
+    def pmean(x):
+        if axis_name is None:
+            return x
+        return jax.lax.pmean(x, axis_name)
+
+    def disc_apply(d_params, poses, feats):
+        return disc.apply(d_params, poses, feats if cond else None)
+
+    def sample_fake(g_params, feats, key):
+        z = jax.random.normal(key, (feats.shape[0], gan.generator.noise_dim), feats.dtype)
+        return gen.apply(g_params, feats, z)
+
+    def d_loss_fn(d_params, g_params, batch, key):
+        feats, real = batch["feats"], batch["poses"]
+        k_z, k_gp = jax.random.split(key)
+        fake = jax.lax.stop_gradient(sample_fake(g_params, feats, k_z))
+        s_real = disc_apply(d_params, real, feats)
+        s_fake = disc_apply(d_params, fake, feats)
+        gp = gradient_penalty(lambda p: disc_apply(d_params, p, feats), real, fake, k_gp)
+        loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
+        aux = {
+            "d_loss": loss,
+            "gp": gp,
+            "wasserstein": jnp.mean(s_real) - jnp.mean(s_fake),
+        }
+        return loss, aux
+
+    def g_loss_fn(g_params, d_params, batch, key):
+        feats = batch["feats"]
+        fake = sample_fake(g_params, feats, key)
+        s_fake = disc_apply(d_params, fake, feats)
+        loss = generator_loss(s_fake, fake, tc.continuity_weight)
+        return loss, {"g_loss": loss}
+
+    def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        # next_rng is derived from replicated values only, so DP shards stay
+        # in sync; the per-step working rng is additionally decorrelated per
+        # shard for noise/interpolate sampling.
+        next_rng, rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        d_params, opt_d = state.d_params, state.opt_d
+        metrics = {}
+        for i in range(tc.n_critic):  # static unroll — n_critic is config
+            rng, k = jax.random.split(rng)
+            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_params, state.g_params, batch, k
+            )
+            grads = pmean(grads)
+            updates, opt_d = tx_d.update(grads, opt_d, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            metrics = aux  # keep last critic iteration's metrics
+
+        rng, k = jax.random.split(rng)
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, d_params, batch, k
+        )
+        g_grads = pmean(g_grads)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics.update(g_aux)
+        metrics = {k_: pmean(v) for k_, v in metrics.items()}
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            rng=next_rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(gan: GANConfig, tc: TrainConfig):
+    """Single-device jitted step with donated state buffers."""
+    return jax.jit(make_train_step(gan, tc), donate_argnums=(0,))

@@ -7,12 +7,21 @@ imported anywhere — pytest loads conftest first, so this is the one place.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set: the container pins JAX_PLATFORMS=axon (TPU) in the environment
+# and its sitecustomize imports jax before conftest runs, so the env var
+# alone is already consumed — jax.config.update is the authoritative switch.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np
 import pytest
