@@ -1,0 +1,13 @@
+"""Parallelism: device mesh + shard_map data parallelism."""
+
+from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
+from .dp import shard_train_step
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "shard_train_step",
+]

@@ -39,11 +39,21 @@ def gradient_penalty(
     disc_apply: Callable[[jax.Array], jax.Array],
     real: jax.Array,
     fake: jax.Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
+    alpha: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Two-sided WGAN-GP penalty on random per-sample interpolates."""
+    """Two-sided WGAN-GP penalty on random per-sample interpolates.
+
+    Pass either ``key`` (samples alpha ~ U[0,1] per clip) or a precomputed
+    per-example ``alpha`` [B] — the train step uses the latter so data-
+    parallel shards reproduce the exact single-device interpolates.
+    """
     b = real.shape[0]
-    alpha = jax.random.uniform(key, (b,) + (1,) * (real.ndim - 1), real.dtype)
+    if alpha is None:
+        if key is None:
+            raise ValueError("gradient_penalty needs key or alpha")
+        alpha = jax.random.uniform(key, (b,), real.dtype)
+    alpha = alpha.reshape((b,) + (1,) * (real.ndim - 1))
     x_hat = alpha * real + (1.0 - alpha) * fake
     norms = critic_gradient_norms(disc_apply, x_hat)
     return jnp.mean((norms - 1.0) ** 2)

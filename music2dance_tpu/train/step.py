@@ -89,8 +89,24 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
     def disc_apply(d_params, poses, feats):
         return disc.apply(d_params, poses, feats if cond else None)
 
+    def per_example_keys(key: jax.Array, local_b: int) -> jax.Array:
+        """Keys derived from each example's GLOBAL batch index.
+
+        Randomness (noise z, GP interpolation alpha) is attached to the
+        example, not the device, so a shard_map-ed step reproduces the
+        single-device step exactly (tested in tests/test_dp.py).
+        """
+        start = 0
+        if axis_name is not None:
+            start = jax.lax.axis_index(axis_name) * local_b
+        idx = start + jnp.arange(local_b)
+        return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
+
     def sample_fake(g_params, feats, key):
-        z = jax.random.normal(key, (feats.shape[0], gan.generator.noise_dim), feats.dtype)
+        keys = per_example_keys(key, feats.shape[0])
+        z = jax.vmap(
+            lambda k: jax.random.normal(k, (gan.generator.noise_dim,), feats.dtype)
+        )(keys)
         return gen.apply(g_params, feats, z)
 
     def d_loss_fn(d_params, g_params, batch, key):
@@ -99,7 +115,12 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         fake = jax.lax.stop_gradient(sample_fake(g_params, feats, k_z))
         s_real = disc_apply(d_params, real, feats)
         s_fake = disc_apply(d_params, fake, feats)
-        gp = gradient_penalty(lambda p: disc_apply(d_params, p, feats), real, fake, k_gp)
+        alpha = jax.vmap(lambda k: jax.random.uniform(k, (), real.dtype))(
+            per_example_keys(k_gp, real.shape[0])
+        )
+        gp = gradient_penalty(
+            lambda p: disc_apply(d_params, p, feats), real, fake, alpha=alpha
+        )
         loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
         aux = {
             "d_loss": loss,
@@ -116,17 +137,15 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         return loss, {"g_loss": loss}
 
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
-        # next_rng is derived from replicated values only, so DP shards stay
-        # in sync; the per-step working rng is additionally decorrelated per
-        # shard for noise/interpolate sampling.
-        next_rng, rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
-        if axis_name is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        # All keys derive from replicated values (state.rng, state.step,
+        # static phase tags); per-example decorrelation happens inside
+        # per_example_keys via the global example index.
+        next_rng, base = jax.random.split(jax.random.fold_in(state.rng, state.step))
 
         d_params, opt_d = state.d_params, state.opt_d
         metrics = {}
         for i in range(tc.n_critic):  # static unroll — n_critic is config
-            rng, k = jax.random.split(rng)
+            k = jax.random.fold_in(base, i)
             (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 d_params, state.g_params, batch, k
             )
@@ -135,7 +154,7 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
             d_params = optax.apply_updates(d_params, updates)
             metrics = aux  # keep last critic iteration's metrics
 
-        rng, k = jax.random.split(rng)
+        k = jax.random.fold_in(base, tc.n_critic)
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, d_params, batch, k
         )
