@@ -3,6 +3,7 @@
 from .config import TrainConfig
 from .losses import critic_loss, generator_loss, gradient_penalty, critic_gradient_norms
 from .step import TrainState, init_state, jit_train_step, make_optimizers, make_train_step
+from .tbptt import init_carries, make_tbptt_machinery, make_tbptt_train_step
 
 __all__ = [
     "TrainConfig",
@@ -15,4 +16,7 @@ __all__ = [
     "jit_train_step",
     "make_optimizers",
     "make_train_step",
+    "init_carries",
+    "make_tbptt_machinery",
+    "make_tbptt_train_step",
 ]

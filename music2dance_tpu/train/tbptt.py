@@ -1,0 +1,186 @@
+"""Truncated BPTT: long-clip training as a lax.scan over windows.
+
+[BASELINE] config #4: "long-sequence training: 30 s clips with truncated
+BPTT windows" — the recurrent state is carried across windows while
+gradients are truncated at window boundaries.
+
+TPU-native formulation: the whole multi-window step is ONE jitted
+``lax.scan`` whose carry is (TrainState, recurrent carries). Each window
+performs a full alternating update (critic + generator); every recurrent
+carry is ``stop_gradient``-ed before entering the next window, which IS
+the truncation (no ``.detach()`` mutation — SURVEY.md §7 hard part #3).
+
+Carried streams (each needs its own recurrent state):
+- generator state for the critic-phase fake stream and for the
+  generator-phase fake stream (they sample different noise keys);
+- critic state for the real stream and both fake streams.
+The gradient penalty is evaluated per window from a fresh zero carry: the
+interpolated sequence x_hat changes every window, so a carried "x_hat
+stream" state has no consistent meaning.
+
+``window_update`` is exposed separately so tests can run the same update
+as a python loop over concrete (hence trivially detached) carries and
+assert it matches the fused scan exactly (tests/test_tbptt.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import Discriminator, Generator, GANConfig
+from .config import TrainConfig
+from .losses import critic_loss, generator_loss, gradient_penalty
+from .step import TrainState, make_optimizers
+
+
+def init_carries(gan: GANConfig, batch: int) -> dict:
+    gen = Generator(gan.generator)
+    disc = Discriminator(gan.discriminator)
+    return {
+        "g_d": gen.init_carry(batch),       # generator state, critic phase
+        "g_g": gen.init_carry(batch),       # generator state, generator phase
+        "d_real": disc.init_carry(batch),
+        "d_fake": disc.init_carry(batch),
+        "d_gfake": disc.init_carry(batch),
+    }
+
+
+def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
+    """Returns (window_update, train_step). See module docstring."""
+    if tc.n_critic != 1:
+        raise ValueError("TBPTT training supports n_critic=1 (one D update per window)")
+    if tc.tbptt_window <= 0:
+        raise ValueError("tc.tbptt_window must be positive for TBPTT training")
+
+    gen = Generator(gan.generator)
+    disc = Discriminator(gan.discriminator)
+    tx_g, tx_d = make_optimizers(tc)
+    cond = gan.discriminator.conditional
+
+    def pmean(x):
+        return x if axis_name is None else jax.lax.pmean(x, axis_name)
+
+    def per_example_keys(key, local_b):
+        start = 0
+        if axis_name is not None:
+            start = jax.lax.axis_index(axis_name) * local_b
+        idx = start + jnp.arange(local_b)
+        return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
+
+    def sample_z(key, b, dtype):
+        keys = per_example_keys(key, b)
+        return jax.vmap(
+            lambda k: jax.random.normal(k, (gan.generator.noise_dim,), dtype)
+        )(keys)
+
+    def d_apply(d_params, poses, feats, carry):
+        return disc.apply(
+            d_params, poses, feats if cond else None, carry=carry, return_carry=True
+        )
+
+    def d_loss_fn(d_params, g_params, wfeats, wposes, key, carries):
+        b = wfeats.shape[0]
+        k_z, k_gp = jax.random.split(key)
+        z = sample_z(k_z, b, wfeats.dtype)
+        fake, g_d_new = gen.apply(
+            g_params, wfeats, z, carry=carries["g_d"], return_carry=True
+        )
+        fake = jax.lax.stop_gradient(fake)
+        g_d_new = jax.lax.stop_gradient(g_d_new)
+        s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])
+        s_fake, d_fake_new = d_apply(d_params, fake, wfeats, carries["d_fake"])
+        alpha = jax.vmap(lambda k: jax.random.uniform(k, (), wposes.dtype))(
+            per_example_keys(k_gp, b)
+        )
+        gp = gradient_penalty(
+            lambda p: disc.apply(d_params, p, wfeats if cond else None),
+            wposes, fake, alpha=alpha,
+        )
+        loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
+        aux = {
+            "d_loss": loss,
+            "gp": gp,
+            "wasserstein": jnp.mean(s_real) - jnp.mean(s_fake),
+        }
+        new_carries = {"g_d": g_d_new, "d_real": d_real_new, "d_fake": d_fake_new}
+        return loss, (aux, new_carries)
+
+    def g_loss_fn(g_params, d_params, wfeats, key, carries):
+        b = wfeats.shape[0]
+        z = sample_z(key, b, wfeats.dtype)
+        fake, g_g_new = gen.apply(
+            g_params, wfeats, z, carry=carries["g_g"], return_carry=True
+        )
+        s_fake, d_gfake_new = d_apply(d_params, fake, wfeats, carries["d_gfake"])
+        loss = generator_loss(s_fake, fake, tc.continuity_weight)
+        new_carries = {"g_g": g_g_new, "d_gfake": d_gfake_new}
+        return loss, ({"g_loss": loss}, new_carries)
+
+    def window_update(state: TrainState, carries: dict, wfeats, wposes, key):
+        """One alternating update on one window. Pure; no step/rng bumping."""
+        kd, kg = jax.random.split(key)
+
+        (_, (d_aux, d_new)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.g_params, wfeats, wposes, kd, carries
+        )
+        d_grads = pmean(d_grads)
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        (_, (g_aux, g_new)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, d_params, wfeats, kg, carries
+        )
+        g_grads = pmean(g_grads)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_carries = jax.lax.stop_gradient({**carries, **d_new, **g_new})
+        metrics = {k: pmean(v) for k, v in {**d_aux, **g_aux}.items()}
+        new_state = state.replace(
+            g_params=g_params, d_params=d_params, opt_g=opt_g, opt_d=opt_d
+        )
+        return new_state, new_carries, metrics
+
+    def train_step(state: TrainState, batch: dict):
+        """One TBPTT step over a long clip: scan of window updates.
+
+        batch: {"feats": [B, T, F], "poses": [B, T, P]} with T a multiple
+        of tc.tbptt_window (callers slice/pad; shapes must be static).
+        """
+        feats, poses = batch["feats"], batch["poses"]
+        b, t = feats.shape[0], feats.shape[1]
+        w = tc.tbptt_window
+        if t % w != 0:
+            raise ValueError(f"sequence length {t} not divisible by window {w}")
+        n_win = t // w
+
+        next_rng, base = jax.random.split(jax.random.fold_in(state.rng, state.step))
+
+        feats_w = feats.reshape(b, n_win, w, -1).transpose(1, 0, 2, 3)
+        poses_w = poses.reshape(b, n_win, w, -1).transpose(1, 0, 2, 3)
+
+        def body(carry, xs):
+            st, cr = carry
+            wfeats, wposes, widx = xs
+            key = jax.random.fold_in(base, widx)
+            st, cr, metrics = window_update(st, cr, wfeats, wposes, key)
+            return (st, cr), metrics
+
+        (state, _), metrics_w = jax.lax.scan(
+            body,
+            (state, init_carries(gan, b)),
+            (feats_w, poses_w, jnp.arange(n_win)),
+        )
+        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics_w)
+        state = state.replace(step=state.step + 1, rng=next_rng)
+        return state, metrics
+
+    return window_update, train_step
+
+
+def make_tbptt_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
+    return make_tbptt_machinery(gan, tc, axis_name)[1]

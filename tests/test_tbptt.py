@@ -1,0 +1,105 @@
+"""TBPTT tests (SURVEY.md §4.5).
+
+The key equivalence: the fused lax.scan-over-windows step must equal a
+python loop of per-window updates over CONCRETE carries. In the python
+loop, gradients physically cannot flow between windows (the carries are
+materialized arrays), so equality proves the scan truncates gradients at
+window boundaries exactly.
+"""
+
+import jax
+import numpy as np
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state
+from music2dance_tpu.train.tbptt import init_carries, make_tbptt_machinery
+
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+                    n_mels=40, n_mfcc=13)
+GAN = tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+B, T, W = 4, 24, 6  # 4 windows
+
+
+def make_long_batch(key=0):
+    batch = synthetic_batch(
+        jax.random.key(key), B, 1.0, AUDIO, LAYOUT, through_frontend=False
+    )
+    return {"feats": batch["feats"][:, :T], "poses": batch["poses"][:, :T]}
+
+
+def test_scan_equals_python_loop_of_window_updates():
+    tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=1)
+    batch = make_long_batch()
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    window_update, train_step = make_tbptt_machinery(GAN, tc)
+
+    # fused scan
+    scan_state, scan_metrics = jax.jit(train_step)(state, batch)
+
+    # python loop over concrete carries — gradients cannot cross windows
+    next_rng, base = jax.random.split(jax.random.fold_in(state.rng, state.step))
+    loop_state, carries = state, init_carries(GAN, B)
+    wu = jax.jit(window_update)
+    for widx in range(T // W):
+        wf = batch["feats"][:, widx * W : (widx + 1) * W]
+        wp = batch["poses"][:, widx * W : (widx + 1) * W]
+        key = jax.random.fold_in(base, widx)
+        loop_state, carries, _ = wu(loop_state, carries, wf, wp, key)
+
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(scan_state.g_params),
+        jax.tree_util.tree_leaves_with_path(loop_state.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"g {jax.tree_util.keystr(pa)}",
+        )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(scan_state.d_params),
+        jax.tree_util.tree_leaves_with_path(loop_state.d_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"d {jax.tree_util.keystr(pa)}",
+        )
+
+
+def test_tbptt_step_finite_and_updates():
+    tc = TrainConfig(batch_size=B, tbptt_window=W)
+    batch = make_long_batch()
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    _, train_step = make_tbptt_machinery(GAN, tc)
+    new_state, metrics = jax.jit(train_step)(state, batch)
+
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert int(new_state.step) == 1
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state.g_params), jax.tree.leaves(new_state.g_params)
+        )
+    )
+    assert changed
+
+
+def test_tbptt_rejects_bad_config():
+    import pytest
+
+    tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=2)
+    with pytest.raises(ValueError):
+        make_tbptt_machinery(GAN, tc)
+
+    tc = TrainConfig(batch_size=B, tbptt_window=0)
+    with pytest.raises(ValueError):
+        make_tbptt_machinery(GAN, tc)
+
+    tc = TrainConfig(batch_size=B, tbptt_window=7)  # 24 % 7 != 0
+    _, train_step = make_tbptt_machinery(GAN, tc)
+    batch = make_long_batch()
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    with pytest.raises(ValueError):
+        jax.jit(train_step)(state, batch)
