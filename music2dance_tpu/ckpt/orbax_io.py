@@ -1,0 +1,110 @@
+"""Orbax checkpointing of the full training state + configs.
+
+Replaces the reference's torch.save/load of G/D/optimizer state dicts
+(SURVEY.md §5): one orbax checkpoint holds {G, D, opt_G, opt_D, step, rng}
+plus a JSON sidecar with the GAN/audio/train configs, so a checkpoint is
+self-describing and ``Music2DanceModel.from_checkpoint`` can rebuild the
+model without external context. Any step is resumable (SURVEY.md §5
+failure-recovery row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..audio import AudioConfig
+from ..models.configs import (
+    DiscriminatorConfig,
+    GANConfig,
+    GeneratorConfig,
+    JointLayout,
+)
+from ..train.config import TrainConfig
+from ..train.step import TrainState, init_state
+
+CONFIG_FILE = "configs.json"
+STATE_DIR = "state"
+
+
+def configs_to_json(gan: GANConfig, audio: AudioConfig, tc: TrainConfig) -> str:
+    return json.dumps(
+        {
+            "generator": dataclasses.asdict(gan.generator),
+            "discriminator": dataclasses.asdict(gan.discriminator),
+            "audio": dataclasses.asdict(audio),
+            "train": dataclasses.asdict(tc),
+            "format_version": 1,
+        },
+        indent=2,
+    )
+
+
+def configs_from_json(text: str) -> tuple[GANConfig, AudioConfig, TrainConfig]:
+    blob = json.loads(text)
+    g = dict(blob["generator"])
+    d = dict(blob["discriminator"])
+    g["layout"] = JointLayout(**g["layout"])
+    d["layout"] = JointLayout(**d["layout"])
+    gan = GANConfig(
+        generator=GeneratorConfig(**g), discriminator=DiscriminatorConfig(**d)
+    )
+    return gan, AudioConfig(**blob["audio"]), TrainConfig(**blob["train"])
+
+
+def _pack_state(state: TrainState):
+    """Typed PRNG keys don't serialize; store raw key data."""
+    return state.replace(rng=jax.random.key_data(state.rng))
+
+
+def _unpack_state(state: TrainState):
+    return state.replace(rng=jax.random.wrap_key_data(state.rng))
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    gan: GANConfig,
+    audio: AudioConfig,
+    tc: TrainConfig,
+) -> None:
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, STATE_DIR), _pack_state(state), force=True)
+    with open(os.path.join(path, CONFIG_FILE), "w") as f:
+        f.write(configs_to_json(gan, audio, tc))
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (from init_state)."""
+    path = os.path.abspath(path)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+        _pack_state(template),
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.join(path, STATE_DIR), abstract)
+    return _unpack_state(restored)
+
+
+def restore_bundle(
+    path: str,
+) -> tuple[GANConfig, AudioConfig, TrainState]:
+    """Self-describing restore: rebuild configs + state from disk alone."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, CONFIG_FILE)) as f:
+        gan, audio, tc = configs_from_json(f.read())
+    # param shapes don't depend on B/T — a minimal sample batch suffices
+    sample = {
+        "feats": np.zeros((1, 4, audio.n_features), np.float32),
+        "poses": np.zeros((1, 4, gan.generator.pose_dim), np.float32),
+    }
+    template = init_state(jax.random.key(0), gan, tc, sample)
+    return gan, audio, restore_checkpoint(path, template)

@@ -1,0 +1,91 @@
+"""Orbax checkpoint round-trip + self-describing bundle restore (SURVEY.md §4.7)."""
+
+import jax
+import numpy as np
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.ckpt import (
+    configs_from_json,
+    configs_to_json,
+    restore_bundle,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+                    n_mels=40, n_mfcc=13)
+GAN = tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+
+
+def assert_trees_equal(a, b):
+    for (pa, x), (_, y) in zip(
+        jax.tree_util.tree_leaves_with_path(a),
+        jax.tree_util.tree_leaves_with_path(b),
+    ):
+        if np.asarray(x).dtype == jax.numpy.uint32 or "rng" in jax.tree_util.keystr(pa):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=jax.tree_util.keystr(pa)
+        )
+
+
+def test_configs_json_round_trip():
+    tc = TrainConfig(batch_size=8, tbptt_window=90)
+    text = configs_to_json(GAN, AUDIO, tc)
+    gan2, audio2, tc2 = configs_from_json(text)
+    assert gan2 == GAN
+    assert audio2 == AUDIO
+    assert tc2 == tc
+
+
+def test_state_round_trip(tmp_path):
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(
+        jax.random.key(0), 4, 0.5, AUDIO, LAYOUT, through_frontend=False
+    )
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    # advance a couple of steps so optimizer state is non-trivial
+    step = jax.jit(make_train_step(GAN, tc))
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, GAN, AUDIO, tc)
+
+    template = init_state(jax.random.key(9), GAN, tc, batch)
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == int(state.step) == 2
+    assert_trees_equal(state.g_params, restored.g_params)
+    assert_trees_equal(state.d_params, restored.d_params)
+    assert_trees_equal(state.opt_g, restored.opt_g)
+
+    # training resumes identically from the restored state
+    s_a, m_a = step(state, batch)
+    s_b, m_b = step(restored, batch)
+    np.testing.assert_allclose(float(m_a["d_loss"]), float(m_b["d_loss"]), rtol=1e-6)
+    assert_trees_equal(s_a.g_params, s_b.g_params)
+
+
+def test_bundle_restore_rebuilds_model(tmp_path):
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(
+        jax.random.key(0), 4, 0.5, AUDIO, LAYOUT, through_frontend=False
+    )
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, GAN, AUDIO, tc)
+
+    gan2, audio2, state2 = restore_bundle(path)
+    assert gan2 == GAN and audio2 == AUDIO
+    assert_trees_equal(state.g_params, state2.g_params)
+
+    from music2dance_tpu.infer import Music2DanceModel
+
+    model = Music2DanceModel.from_checkpoint(path)
+    wave = np.random.default_rng(0).standard_normal(AUDIO.num_samples(0.5)).astype(np.float32)
+    poses = model.generate(wave, seed=1)
+    assert poses.shape == (AUDIO.num_frames(len(wave)), LAYOUT.n_joints, LAYOUT.joint_dim)
