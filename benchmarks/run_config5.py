@@ -1,0 +1,57 @@
+"""BASELINE config #5: batched autoregressive inference — 64 concurrent
+full songs (3 min each), generated pose frames/sec."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.harness import emit
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.infer.decode import decode_poses
+from music2dance_tpu.models import Generator, full_gan
+
+
+def main():
+    audio = AudioConfig()
+    gan = full_gan(feature_dim=audio.n_features)
+    gen = Generator(gan.generator)
+
+    b = 64
+    song_seconds = 180.0
+    t = audio.num_frames(audio.num_samples(song_seconds))
+    feats = jax.random.normal(jax.random.key(0), (b, t, audio.n_features))
+    # variable song lengths: 60%..100% of the longest
+    lengths = jnp.linspace(int(0.6 * t), t, b).astype(jnp.int32)
+    z = jax.random.normal(jax.random.key(1), (1, gan.generator.noise_dim))
+    params = gen.init(jax.random.key(2), feats[:1, :8], z)
+
+    decode = jax.jit(
+        lambda p, f, k, l: decode_poses(p, gan.generator, f, k, lengths=l)
+    )
+
+    out = decode(params, feats, jax.random.key(3), lengths)  # warmup/compile
+    jax.block_until_ready(out)
+
+    n_reps = 5
+    t0 = time.perf_counter()
+    for i in range(n_reps):
+        out = decode(params, feats, jax.random.key(4 + i), lengths)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    valid_frames = int(jnp.sum(lengths))
+    emit(
+        "config5_batched_inference_64_songs",
+        frames_per_sec=round(n_reps * valid_frames / dt, 1),
+        songs=b, song_seconds=song_seconds, frames_per_song_max=int(t),
+    )
+
+
+if __name__ == "__main__":
+    main()
