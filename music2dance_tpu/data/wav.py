@@ -1,0 +1,158 @@
+"""WAV decode/encode: native C++ decoder (ctypes) with numpy fallback.
+
+The native path (native/m2d_wav.cc -> native/build/libm2dwav.so) is the
+framework's replacement for the audio-decode C code the reference gets
+from the librosa/audioread wheels. ``ensure_native()`` builds it with make
+on first use; if no toolchain is available, a pure-numpy RIFF parser with
+identical semantics (PCM16/24/32 + float32, mono mixdown) takes over — the
+two are cross-checked in tests/test_wav.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libm2dwav.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def ensure_native(build: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native decoder; None if unavailable."""
+    global _lib, _lib_tried
+    if _lib is not None or (_lib_tried and not build):
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB_PATH) and build and os.path.isdir(_NATIVE_DIR):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    if os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.m2d_wav_decode.restype = ctypes.c_long
+        lib.m2d_wav_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.m2d_wav_encode.restype = ctypes.c_int
+        lib.m2d_wav_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def load_wav_native(path: str) -> tuple[np.ndarray, int]:
+    lib = ensure_native()
+    if lib is None:
+        raise RuntimeError("native WAV decoder unavailable")
+    sr = ctypes.c_int(0)
+    n = lib.m2d_wav_decode(path.encode(), None, 0, ctypes.byref(sr))
+    if n < 0:
+        raise ValueError(f"cannot decode {path!r} (code {n})")
+    buf = np.empty(n, np.float32)
+    got = lib.m2d_wav_decode(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ctypes.byref(sr),
+    )
+    if got != n:
+        raise ValueError(f"short decode of {path!r}: {got}/{n}")
+    return buf, sr.value
+
+
+def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF parser, same semantics as the native decoder."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path!r} is not a RIFF/WAVE file")
+    pos, fmt = 12, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = {
+                "format": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sr": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            ch, bits = fmt["channels"], fmt["bits"]
+            if fmt["format"] == 3 and bits == 32:
+                x = np.frombuffer(body, "<f4").astype(np.float32)
+            elif fmt["format"] in (1, 0xFFFE) and bits == 16:
+                x = np.frombuffer(body, "<i2").astype(np.float32) / 32768.0
+            elif fmt["format"] in (1, 0xFFFE) and bits == 32:
+                x = np.frombuffer(body, "<i4").astype(np.float32) / 2147483648.0
+            elif fmt["format"] in (1, 0xFFFE) and bits == 24:
+                raw = np.frombuffer(body, np.uint8).reshape(-1, 3)
+                x = (
+                    raw[:, 0].astype(np.int32)
+                    | (raw[:, 1].astype(np.int32) << 8)
+                    | (raw[:, 2].astype(np.int32) << 16)
+                )
+                x = (x << 8 >> 8).astype(np.float32) / 8388608.0
+            else:
+                raise ValueError(f"unsupported wav encoding in {path!r}")
+            if ch > 1:
+                x = x.reshape(-1, ch).mean(axis=1)
+            return x.astype(np.float32), fmt["sr"]
+        pos += 8 + size + (size & 1)
+    raise ValueError(f"no data chunk in {path!r}")
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    """Decode a WAV file to (mono float32 samples, sample_rate)."""
+    if ensure_native() is not None:
+        return load_wav_native(path)
+    return load_wav_numpy(path)
+
+
+def save_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode mono float32 samples as PCM16 (native if available)."""
+    samples = np.ascontiguousarray(samples, np.float32)
+    lib = ensure_native()
+    if lib is not None:
+        rc = lib.m2d_wav_encode(
+            path.encode(),
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(samples),
+            sample_rate,
+        )
+        if rc != 0:
+            raise IOError(f"native wav encode failed for {path!r}")
+        return
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + data)
