@@ -1,0 +1,62 @@
+"""CLI inference entry point (reference: `python generate.py <flags>`).
+
+  python generate.py --ckpt runs/full --wav song.wav --out poses.npy
+  python generate.py --ckpt runs/full --wav_dir songs/ --out_dir poses/
+  python generate.py --ckpt runs/full --wav song.wav --video dance.mp4
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
+flags.DEFINE_string("wav", None, "input song (.wav)")
+flags.DEFINE_string("wav_dir", None, "directory of songs for batched decode")
+flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D]")
+flags.DEFINE_string("out_dir", "poses_out", "output directory for --wav_dir")
+flags.DEFINE_string("video", None, "render a stick-figure animation here (.mp4/.gif)")
+flags.DEFINE_integer("seed", 0, "latent seed")
+flags.mark_flag_as_required("ckpt")
+
+
+def main(argv):
+    del argv
+    from music2dance_tpu.data.wav import load_wav
+    from music2dance_tpu.infer import Music2DanceModel
+
+    model = Music2DanceModel.from_checkpoint(FLAGS.ckpt)
+
+    if FLAGS.wav_dir:
+        names = sorted(f for f in os.listdir(FLAGS.wav_dir) if f.endswith(".wav"))
+        waves = [load_wav(os.path.join(FLAGS.wav_dir, n))[0] for n in names]
+        outs = model.generate_batch(waves, seed=FLAGS.seed)
+        os.makedirs(FLAGS.out_dir, exist_ok=True)
+        for n, poses in zip(names, outs):
+            np.save(os.path.join(FLAGS.out_dir, n[:-4] + ".npy"), poses)
+        print(f"decoded {len(outs)} songs -> {FLAGS.out_dir}")
+        return
+
+    if not FLAGS.wav:
+        raise app.UsageError("pass --wav or --wav_dir")
+    wave, sr = load_wav(FLAGS.wav)
+    if sr != model.audio.sample_rate:
+        raise ValueError(
+            f"{FLAGS.wav}: sample rate {sr} != model rate {model.audio.sample_rate}"
+        )
+    poses = model.generate(wave, seed=FLAGS.seed)
+    np.save(FLAGS.out, poses)
+    print(f"{FLAGS.wav} -> {FLAGS.out} poses {poses.shape}")
+
+    if FLAGS.video:
+        from music2dance_tpu.utils.visualize import render_pose_video
+
+        render_pose_video(poses, FLAGS.video, fps=model.audio.feature_rate)
+        print(f"rendered {FLAGS.video}")
+
+
+if __name__ == "__main__":
+    app.run(main)

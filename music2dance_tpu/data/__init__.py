@@ -1,0 +1,13 @@
+"""Data: synthetic generators, grain pipeline, WAV codec."""
+
+from .synthetic import numpy_clip_dataset, synthetic_batch, synthetic_poses, synthetic_waveforms
+from .wav import load_wav, save_wav
+
+__all__ = [
+    "numpy_clip_dataset",
+    "synthetic_batch",
+    "synthetic_poses",
+    "synthetic_waveforms",
+    "load_wav",
+    "save_wav",
+]

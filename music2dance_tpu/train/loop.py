@@ -1,0 +1,89 @@
+"""The training loop: pipeline + step + checkpoints + logging, end to end.
+
+Mirrors the reference's train.py control flow (SURVEY.md §3.2) with the
+TPU-native substitutions: grain workers decode on host, features extract
+on device (data/pipeline.py), the alternating step is one jitted function
+(or shard_map over a mesh), checkpoints are orbax, metrics are JSONL.
+Dispatch is asynchronous — the host is already assembling batch k+1 while
+step k runs, so the step is not input-bound (benchmarks/run_pipeline.py
+verifies).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+
+from ..audio import AudioConfig
+from ..ckpt.orbax_io import save_checkpoint
+from ..models import GANConfig
+from ..parallel.dp import shard_train_step
+from ..parallel.mesh import batch_sharding
+from ..utils.logging import MetricsLogger
+from ..utils.profiling import StepTimer, synchronize
+from .config import TrainConfig
+from .step import TrainState, init_state, make_train_step
+from .tbptt import make_tbptt_train_step
+
+
+def train(
+    gan: GANConfig,
+    tc: TrainConfig,
+    audio: AudioConfig,
+    host_batches: Iterator[dict],
+    total_steps: int,
+    ckpt_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    state: Optional[TrainState] = None,
+    seed: int = 0,
+) -> TrainState:
+    """Run ``total_steps`` alternating updates. Returns the final state.
+
+    ``host_batches`` yields {"wave" or "feats", "poses"/"pose"} numpy
+    batches (see data/pipeline.make_dataset); feature extraction happens
+    on device via DevicePrefetcher.
+    """
+    from ..data.pipeline import DevicePrefetcher
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    batches = DevicePrefetcher(host_batches, audio, depth=2, sharding=sharding)
+
+    first = next(batches)
+    if state is None:
+        state = init_state(jax.random.key(seed), gan, tc, first)
+
+    if tc.tbptt_window > 0:
+        if mesh is not None:
+            raise NotImplementedError(
+                "TBPTT + mesh DP: wrap make_tbptt_train_step in shard_map "
+                "(same recipe as parallel.dp) — single-device path for now"
+            )
+        step = jax.jit(make_tbptt_train_step(gan, tc), donate_argnums=(0,))
+    elif mesh is not None:
+        step = shard_train_step(gan, tc, mesh)
+    else:
+        step = jax.jit(make_train_step(gan, tc), donate_argnums=(0,))
+
+    logger = MetricsLogger(log_dir)
+    timer = StepTimer(window=max(1, tc.log_every))
+    metrics = {}
+    batch = first
+    try:
+        for i in range(total_steps):
+            state, metrics = step(state, batch)
+            if i + 1 < total_steps:
+                batch = next(batches)
+            if timer.tick(metrics):
+                extra = {"steps_per_sec": timer.steps_per_sec} if timer.steps_per_sec else {}
+                logger.log(int(i + 1), {**metrics, **extra})
+            if ckpt_dir is not None and (i + 1) % tc.ckpt_every == 0:
+                synchronize(metrics)
+                save_checkpoint(ckpt_dir, state, gan, audio, tc)
+        synchronize(metrics)
+        if ckpt_dir is not None:
+            save_checkpoint(ckpt_dir, state, gan, audio, tc)
+    finally:
+        logger.close()
+    return state

@@ -1,0 +1,82 @@
+"""CLI training entry point (reference: `python train.py <flags>`).
+
+Examples:
+  python train.py --preset tiny --steps 100 --synthetic
+  python train.py --preset full --steps 10000 --data_dir clips/ \
+      --ckpt_dir runs/full --log_dir runs/full
+  python train.py --preset full --dp 4 ...        # 4-device data parallel
+"""
+
+from __future__ import annotations
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("preset", "tiny", "config preset: tiny | full | long")
+flags.DEFINE_integer("steps", 100, "total train steps")
+flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
+flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
+flags.DEFINE_integer("synthetic_clips", 256, "synthetic dataset size")
+flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
+flags.DEFINE_string("log_dir", None, "metrics JSONL directory")
+flags.DEFINE_string("restore", None, "checkpoint to resume from")
+flags.DEFINE_integer("dp", 0, "data-parallel devices (0 = single device)")
+flags.DEFINE_integer("seed", 0, "rng seed")
+flags.DEFINE_integer("workers", 0, "grain worker processes for host decode")
+flags.DEFINE_string("trace_dir", None, "capture a jax.profiler trace here")
+
+
+def main(argv):
+    del argv
+    from music2dance_tpu.configs.presets import preset
+    from music2dance_tpu.data.pipeline import (
+        NpzClipSource,
+        SyntheticClipSource,
+        make_dataset,
+    )
+    from music2dance_tpu.models.configs import JointLayout
+    from music2dance_tpu.parallel import make_mesh
+    from music2dance_tpu.train.loop import train
+    from music2dance_tpu.utils.profiling import trace
+
+    p = preset(FLAGS.preset)
+    layout = p.gan.generator.layout
+
+    if FLAGS.data_dir:
+        source = NpzClipSource(FLAGS.data_dir)
+    elif FLAGS.synthetic:
+        source = SyntheticClipSource(
+            FLAGS.synthetic_clips, p.train.clip_seconds, p.audio, layout, FLAGS.seed
+        )
+    else:
+        raise app.UsageError("pass --data_dir or --synthetic")
+
+    ds = make_dataset(
+        source, p.train.batch_size, p.train.clip_seconds, p.audio,
+        seed=FLAGS.seed, num_workers=FLAGS.workers,
+    )
+    mesh = make_mesh(FLAGS.dp) if FLAGS.dp > 0 else None
+
+    state = None
+    if FLAGS.restore:
+        from music2dance_tpu.ckpt.orbax_io import restore_bundle
+
+        _, _, state = restore_bundle(FLAGS.restore)
+
+    def run():
+        return train(
+            p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
+            ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
+            state=state, seed=FLAGS.seed,
+        )
+
+    if FLAGS.trace_dir:
+        with trace(FLAGS.trace_dir):
+            final = run()
+    else:
+        final = run()
+    print(f"done: {int(final.step)} steps")
+
+
+if __name__ == "__main__":
+    app.run(main)
