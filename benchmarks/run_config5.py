@@ -11,7 +11,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from benchmarks.harness import emit
+from benchmarks.harness import emit, force
 from music2dance_tpu.audio import AudioConfig
 from music2dance_tpu.infer.decode import decode_poses
 from music2dance_tpu.models import Generator, full_gan
@@ -35,14 +35,12 @@ def main():
         lambda p, f, k, l: decode_poses(p, gan.generator, f, k, lengths=l)
     )
 
-    out = decode(params, feats, jax.random.key(3), lengths)  # warmup/compile
-    jax.block_until_ready(out)
+    force(decode(params, feats, jax.random.key(3), lengths))  # warmup/compile
 
     n_reps = 5
     t0 = time.perf_counter()
     for i in range(n_reps):
-        out = decode(params, feats, jax.random.key(4 + i), lengths)
-    jax.block_until_ready(out)
+        force(decode(params, feats, jax.random.key(4 + i), lengths))
     dt = time.perf_counter() - t0
 
     valid_frames = int(jnp.sum(lengths))

@@ -1,0 +1,66 @@
+"""Pallas fused frontend parity: must equal the XLA frontend and the numpy
+oracle at the rtol 1e-4 [BASELINE] gate (interpret mode on CPU; the same
+kernel compiles on TPU — exercised by benchmarks/run_frontend.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from music2dance_tpu.audio import AudioConfig, extract_features
+from music2dance_tpu.audio.pallas_frontend import extract_features_pallas, logmel_fused
+from tests import oracle_audio as oracle
+from tests.test_audio_parity import FAST, make_wave
+
+
+@pytest.mark.parametrize("seconds", [0.5, 1.3])
+def test_logmel_fused_matches_oracle(rng, seconds):
+    cfg = FAST
+    y = make_wave(rng, seconds, cfg)
+    ref = oracle.oracle_power_to_db(oracle.oracle_melspectrogram(y, cfg), cfg)
+    logmel, clip_max = logmel_fused(jnp.asarray(y)[None], cfg, tb=16)
+    # apply the top_db epilogue the way extract_features_pallas does
+    ours = np.maximum(np.asarray(logmel[0]), float(clip_max[0]) - cfg.top_db)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(clip_max[0]), ref.max(), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("feature_type", ["mfcc", "logmel"])
+def test_full_pallas_features_match_oracle(rng, feature_type):
+    cfg = AudioConfig(
+        sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+        n_mels=40, n_mfcc=13, feature_type=feature_type,
+    )
+    y = make_wave(rng, 1.0, cfg)
+    ref = oracle.oracle_features(y, cfg)
+    ours = extract_features_pallas(jnp.asarray(y), cfg, tb=16)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_equals_xla_frontend_batched(rng):
+    cfg = FAST
+    batch = np.stack([make_wave(rng, 1.0, cfg, k) for k in ["mix", "noise"]])
+    a = extract_features(jnp.asarray(batch), cfg)
+    b = extract_features_pallas(jnp.asarray(batch), cfg, tb=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
+
+
+def test_ragged_last_block_masking(rng):
+    """T not divisible by TB: the padded rows must not pollute the clip max."""
+    cfg = FAST
+    y = make_wave(rng, 0.7, cfg)  # T = 1 + 5600//200 = 29, tb=16 -> ragged
+    t = cfg.num_frames(len(y))
+    assert t % 16 != 0
+    ref = oracle.oracle_features(y, cfg)
+    ours = extract_features_pallas(jnp.asarray(y), cfg, tb=16)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_default_config_shapes(rng):
+    """Default config (n_fft=1024, hop=735, k=2, n_mels=128): MXU-aligned."""
+    cfg = AudioConfig()
+    y = make_wave(rng, 1.0, cfg)
+    ref = oracle.oracle_features(y, cfg)
+    ours = extract_features_pallas(jnp.asarray(y), cfg)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
