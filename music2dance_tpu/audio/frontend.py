@@ -123,6 +123,19 @@ def extract_features(y: jax.Array, cfg: AudioConfig = AudioConfig()) -> jax.Arra
 
 
 @functools.lru_cache(maxsize=8)
-def jit_extract_features(cfg: AudioConfig):
-    """A jitted [B, L] -> [B, T, F] extractor specialized to ``cfg``."""
+def jit_extract_features(cfg: AudioConfig, impl: str = "xla"):
+    """A jitted [B, L] -> [B, T, F] extractor specialized to ``cfg``.
+
+    impl: "xla" (frontend.py), "pallas" (pallas_frontend.py), or "auto"
+    (pallas when a TPU backend is active — both pass the same rtol 1e-4
+    oracle gate, see tests/test_audio_parity.py, tests/test_pallas_frontend.py).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_frontend import extract_features_pallas
+
+        return jax.jit(functools.partial(extract_features_pallas, cfg=cfg))
+    if impl != "xla":
+        raise ValueError(f"unknown frontend impl {impl!r}")
     return jax.jit(functools.partial(extract_features, cfg=cfg))

@@ -178,9 +178,10 @@ class DevicePrefetcher:
         audio: AudioConfig,
         depth: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
+        frontend_impl: str = "auto",
     ):
         self._it = iter(host_iter)
-        self._extract = jit_extract_features(audio)
+        self._extract = jit_extract_features(audio, impl=frontend_impl)
         self._depth = depth
         self._sharding = sharding
         self._queue: list[dict] = []
