@@ -2,6 +2,7 @@
 
 from .synthetic import numpy_clip_dataset, synthetic_batch, synthetic_poses, synthetic_waveforms
 from .wav import load_wav, save_wav
+from .device_store import DeviceFeatureStore
 
 __all__ = [
     "numpy_clip_dataset",
@@ -10,4 +11,5 @@ __all__ = [
     "synthetic_waveforms",
     "load_wav",
     "save_wav",
+    "DeviceFeatureStore",
 ]

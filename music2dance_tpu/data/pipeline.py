@@ -22,6 +22,8 @@ music2dance_tpu.data.wav_native when built, numpy fallback otherwise).
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Iterator, Optional, Sequence
 
 import grain
@@ -163,13 +165,47 @@ def make_dataset(
     return it
 
 
+class _HostFetcher(threading.Thread):
+    """Pulls host batches on a background thread into a bounded queue, so
+    host-side assembly (grain transforms, numpy stacking) overlaps both
+    device compute and host->device transfer latency."""
+
+    _DONE = object()
+
+    def __init__(self, it: Iterator[dict], depth: int):
+        super().__init__(daemon=True)
+        self._it = it
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self.start()
+
+    def run(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        finally:
+            self._q.put(self._DONE)
+
+    def get(self):
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        return item
+
+
 class DevicePrefetcher:
     """Keeps ``depth`` feature batches in flight on device.
 
-    Pulls host batches, issues async device_put + on-device MFCC
-    extraction, and yields {"feats", "poses"} device batches; the device
-    work for batch k+1 overlaps the train step on batch k via XLA's async
-    dispatch queue.
+    Accepts host batches in either domain:
+    - waveform batches {"wave" [B,L], "pose" [B,T,P]}: device_put + on-
+      device MFCC extraction (the frontend is a microsecond-scale matmul
+      chain on TPU);
+    - feature batches {"feats" [B,T,F], "poses" [B,T,P]} from the
+      preprocess-time cache (data/cache.py): device_put only — 36x less
+      host->device traffic, the right mode when the transfer link is slow.
+
+    Host assembly runs on a background thread; device work for batch k+1
+    is issued while step k computes (async dispatch), double-buffering
+    transfers against compute.
     """
 
     def __init__(
@@ -179,37 +215,71 @@ class DevicePrefetcher:
         depth: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         frontend_impl: str = "auto",
+        chunk: int = 1,
     ):
-        self._it = iter(host_iter)
+        self._fetcher = _HostFetcher(iter(host_iter), depth * max(1, chunk) + 1)
         self._extract = jit_extract_features(audio, impl=frontend_impl)
         self._depth = depth
         self._sharding = sharding
+        self._chunk = max(1, chunk)
         self._queue: list[dict] = []
+        self._done = False
 
-    def _issue(self) -> Optional[dict]:
-        try:
-            host = next(self._it)
-        except StopIteration:
-            return None
-        wave = jax.numpy.asarray(host["wave"])
-        pose = jax.numpy.asarray(host["pose"])
+    def _put(self, x):
+        x = jax.numpy.asarray(x)
         if self._sharding is not None:
-            wave = jax.device_put(wave, self._sharding)
-            pose = jax.device_put(pose, self._sharding)
-        # centered STFT yields 1 + L/hop frames; trim to the pose frame
-        # count so feats and poses align 1:1 (pose frame p <-> hop p)
-        feats = self._extract(wave)[:, : pose.shape[1]]
-        return {"feats": feats, "poses": pose}
+            x = jax.device_put(x, self._sharding)
+        return x
+
+    def _put_chunked(self, arrays: list[np.ndarray]):
+        """One host->device transfer for ``len(arrays)`` batches, sliced on
+        device — amortizes per-transfer latency on slow links (``chunk``>1).
+
+        With a mesh sharding, the stacked [K, B, ...] transfer shards dim 1
+        (the batch), matching the per-batch sharding after slicing.
+        """
+        stacked = np.stack(arrays)
+        x = jax.numpy.asarray(stacked)
+        if self._sharding is not None:
+            spec = self._sharding.spec
+            chunked_sharding = jax.sharding.NamedSharding(
+                self._sharding.mesh, jax.sharding.PartitionSpec(None, *spec)
+            )
+            x = jax.device_put(x, chunked_sharding)
+        return [x[i] for i in range(len(arrays))]
+
+    def _issue_many(self) -> list[dict]:
+        hosts = []
+        try:
+            for _ in range(self._chunk):
+                hosts.append(self._fetcher.get())
+        except StopIteration:
+            self._done = True
+        if not hosts:
+            return []
+        if "feats" in hosts[0]:  # feature-domain batches (preprocessed cache)
+            feats = self._put_chunked([h["feats"] for h in hosts])
+            poses = self._put_chunked([h["poses"] for h in hosts])
+            return [{"feats": f, "poses": p} for f, p in zip(feats, poses)]
+        out = []
+        for host in hosts:
+            pose = self._put(host["pose"])
+            wave = self._put(host["wave"])
+            # centered STFT yields 1 + L/hop frames; trim to the pose frame
+            # count so feats and poses align 1:1 (pose frame p <-> hop p)
+            feats = self._extract(wave)[:, : pose.shape[1]]
+            out.append({"feats": feats, "poses": pose})
+        return out
 
     def __iter__(self):
         return self
 
     def __next__(self) -> dict:
-        while len(self._queue) < self._depth:
-            batch = self._issue()
-            if batch is None:
+        while not self._done and len(self._queue) < self._depth * self._chunk:
+            batches = self._issue_many()
+            if not batches:
                 break
-            self._queue.append(batch)
+            self._queue.extend(batches)
         if not self._queue:
             raise StopIteration
         return self._queue.pop(0)

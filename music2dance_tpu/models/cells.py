@@ -33,10 +33,11 @@ class GRUCell(nn.Module):
     """h, gi [B, 3H] -> h. Carry is h [B, H]."""
 
     hidden: int
+    dtype: str = "float32"  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, h, gi):
-        gh = nn.Dense(3 * self.hidden, name="hh")(h)
+        gh = nn.Dense(3 * self.hidden, name="hh", dtype=self.dtype)(h)
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = nn.sigmoid(i_r + h_r)
@@ -49,11 +50,12 @@ class LSTMCell(nn.Module):
     """(h, c), gi [B, 4H] -> (h, c). Carry is the (h, c) pair."""
 
     hidden: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, carry, gi):
         h, c = carry
-        gh = nn.Dense(4 * self.hidden, name="hh")(h)
+        gh = nn.Dense(4 * self.hidden, name="hh", dtype=self.dtype)(h)
         i_i, i_f, i_g, i_o = jnp.split(gi, 4, axis=-1)
         h_i, h_f, h_g, h_o = jnp.split(gh, 4, axis=-1)
         i = nn.sigmoid(i_i + h_i)
@@ -78,6 +80,7 @@ class RNNCore(nn.Module):
     hidden: int
     layers: int
     cell: str = "gru"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, carry, gi0):
@@ -87,17 +90,17 @@ class RNNCore(nn.Module):
         for l in range(self.layers):
             if self.cell == "gru":
                 h_l = carry[l]
-                h_new = GRUCell(self.hidden, name=f"cell_l{l}")(h_l, x_proj)
+                h_new = GRUCell(self.hidden, self.dtype, name=f"cell_l{l}")(h_l, x_proj)
                 new_h.append(h_new)
                 below = h_new
             else:
                 h_l, c_l = carry[0][l], carry[1][l]
-                h_new, c_new = LSTMCell(self.hidden, name=f"cell_l{l}")((h_l, c_l), x_proj)
+                h_new, c_new = LSTMCell(self.hidden, self.dtype, name=f"cell_l{l}")((h_l, c_l), x_proj)
                 new_h.append(h_new)
                 new_c.append(c_new)
                 below = h_new
             if l + 1 < self.layers:
-                x_proj = nn.Dense(g * self.hidden, name=f"ih_l{l + 1}")(below)
+                x_proj = nn.Dense(g * self.hidden, name=f"ih_l{l + 1}", dtype=self.dtype)(below)
         h_stack = jnp.stack(new_h, axis=0)
         if self.cell == "gru":
             return h_stack, below

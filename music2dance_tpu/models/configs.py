@@ -45,6 +45,8 @@ class GeneratorConfig:
     head_hidden: int = 256
     residual_pose: bool = True     # predict pose deltas, integrate over time
     autoregressive: bool = True    # feed previous pose back into the core
+    dtype: str = "float32"         # compute dtype ("bfloat16" for MXU speed);
+                                   # params and losses stay float32
 
     @property
     def pose_dim(self) -> int:
@@ -64,6 +66,7 @@ class DiscriminatorConfig:
     hidden_dim: int = 512
     rnn_layers: int = 1
     cell: str = "gru"
+    dtype: str = "float32"         # compute dtype; params/losses stay float32
 
     @property
     def pose_dim(self) -> int:

@@ -32,9 +32,13 @@ class DiscStep(nn.Module):
     @nn.compact
     def __call__(self, carry, gi0_t):
         carry, h_top = RNNCore(
-            self.cfg.hidden_dim, self.cfg.rnn_layers, self.cfg.cell, name="core"
+            self.cfg.hidden_dim, self.cfg.rnn_layers, self.cfg.cell,
+            self.cfg.dtype, name="core"
         )(carry, gi0_t)
-        score_t = nn.Dense(1, name="score")(h_top)  # [B, 1]
+        # critic scores in float32: they feed losses and the grad penalty
+        score_t = nn.Dense(1, name="score", dtype="float32")(
+            h_top.astype(jnp.float32)
+        )  # [B, 1]
         return carry, score_t
 
 
@@ -62,10 +66,11 @@ class Discriminator(nn.Module):
             x = jnp.concatenate([poses, feats], axis=-1)
 
         for l in range(cfg.conv_layers):
-            x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME", name=f"conv_{l}")(x)
+            x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME",
+                        name=f"conv_{l}", dtype=cfg.dtype)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
 
-        gi = nn.Dense(g * cfg.hidden_dim, name="ih0")(x)  # hoisted: [B,T,G*H]
+        gi = nn.Dense(g * cfg.hidden_dim, name="ih0", dtype=cfg.dtype)(x)  # hoisted
 
         if carry is None:
             carry = self.init_carry(b)

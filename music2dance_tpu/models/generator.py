@@ -39,7 +39,8 @@ class AudioEncoder(nn.Module):
     def __call__(self, feats):
         x = feats
         for l in range(self.cfg.enc_layers):
-            x = nn.Conv(self.cfg.enc_dim, (self.cfg.enc_kernel,), padding="SAME", name=f"conv_{l}")(x)
+            x = nn.Conv(self.cfg.enc_dim, (self.cfg.enc_kernel,), padding="SAME",
+                        name=f"conv_{l}", dtype=self.cfg.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -61,15 +62,18 @@ class GeneratorStep(nn.Module):
         if not cfg.autoregressive:
             prev = jnp.zeros_like(prev)
         gi0 = gi_static_t + nn.Dense(
-            g * cfg.hidden_dim, use_bias=False, name="ih0_pose"
+            g * cfg.hidden_dim, use_bias=False, name="ih0_pose", dtype=cfg.dtype
         )(prev)
 
         rnn_carry, h_top = RNNCore(
-            cfg.hidden_dim, cfg.rnn_layers, cfg.cell, name="core"
+            cfg.hidden_dim, cfg.rnn_layers, cfg.cell, cfg.dtype, name="core"
         )(rnn_carry, gi0)
 
-        y = nn.relu(nn.Dense(cfg.head_hidden, name="head_fc")(h_top))
-        out = nn.Dense(cfg.pose_dim, name="head_out")(y)
+        y = nn.relu(nn.Dense(cfg.head_hidden, name="head_fc", dtype=cfg.dtype)(h_top))
+        # pose head output in float32: poses feed losses and AR integration
+        out = nn.Dense(cfg.pose_dim, name="head_out", dtype="float32")(
+            y.astype(jnp.float32)
+        )
         pose = prev + out if cfg.residual_pose else out
         return (rnn_carry, pose), pose
 
@@ -100,7 +104,8 @@ class Generator(nn.Module):
         enc = AudioEncoder(cfg, name="encoder")(feats)                  # [B,T,E]
         z_seq = jnp.broadcast_to(z[:, None, :], (b, t, cfg.noise_dim))
         static_in = jnp.concatenate([enc, z_seq], axis=-1)
-        gi_static = nn.Dense(g * cfg.hidden_dim, name="ih0_static")(static_in)  # hoisted
+        gi_static = nn.Dense(g * cfg.hidden_dim, name="ih0_static",
+                             dtype=cfg.dtype)(static_in)  # hoisted
 
         if carry is None:
             carry = self.init_carry(b)

@@ -1,7 +1,7 @@
 """Parallelism: device mesh + shard_map data parallelism."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
-from .dp import shard_train_step
+from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
 
 __all__ = [
     "DATA_AXIS",
@@ -10,4 +10,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_train_step",
+    "shard_tbptt_train_step",
+    "shard_decode",
 ]

@@ -39,3 +39,48 @@ def shard_train_step(
         check_vma=False,  # pmean-ed outputs are replicated by construction
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def shard_tbptt_train_step(
+    gan: GANConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    donate: bool = True,
+):
+    """DP over the TBPTT step: long clips sharded on batch, gradients
+    pmean-ed inside every window update (BASELINE config #4 at scale)."""
+    from ..train.tbptt import make_tbptt_train_step
+
+    step = make_tbptt_train_step(gan, tc, axis_name=axis_name)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def shard_decode(gan: GANConfig, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """DP batched autoregressive decode: songs sharded across the mesh.
+
+    Decoding is embarrassingly parallel over songs (no collectives); the
+    mesh just multiplies frames/sec (BASELINE config #5 at scale).
+    Returns jitted (g_params, feats [B,T,F], key, lengths [B]) -> poses.
+    """
+    from ..infer.decode import decode_poses
+
+    def local(g_params, feats, key, lengths):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        return decode_poses(g_params, gan.generator, feats, key, lengths=lengths)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -56,11 +56,11 @@ def train(
 
     if tc.tbptt_window > 0:
         if mesh is not None:
-            raise NotImplementedError(
-                "TBPTT + mesh DP: wrap make_tbptt_train_step in shard_map "
-                "(same recipe as parallel.dp) — single-device path for now"
-            )
-        step = jax.jit(make_tbptt_train_step(gan, tc), donate_argnums=(0,))
+            from ..parallel.dp import shard_tbptt_train_step
+
+            step = shard_tbptt_train_step(gan, tc, mesh)
+        else:
+            step = jax.jit(make_tbptt_train_step(gan, tc), donate_argnums=(0,))
     elif mesh is not None:
         step = shard_train_step(gan, tc, mesh)
     else:

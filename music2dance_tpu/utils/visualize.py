@@ -31,7 +31,7 @@ def render_pose_video(
     poses = np.asarray(poses)
     t, j, _ = poses.shape
     x, y = poses[..., dims[0]], poses[..., dims[1]]
-    pad = 0.1 * max(x.ptp(), y.ptp(), 1e-3)
+    pad = 0.1 * max(np.ptp(x), np.ptp(y), 1e-3)
 
     fig, ax = plt.subplots(figsize=(4, 4), dpi=80)
     ax.set_xlim(x.min() - pad, x.max() + pad)

@@ -1,0 +1,83 @@
+"""Device-resident feature store + on-device-sampled train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.device_store import DeviceFeatureStore
+from music2dance_tpu.data.pipeline import SyntheticClipSource
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state
+from music2dance_tpu.train.sampled import (
+    make_sampling_train_step,
+    shard_sampling_train_step,
+)
+
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+                    n_mels=40, n_mfcc=13)
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+GAN = tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+
+
+def make_store(n_clips=6, seconds=1.0):
+    src = SyntheticClipSource(n_clips, seconds, AUDIO, LAYOUT, seed=0)
+    return DeviceFeatureStore.from_source(src, AUDIO, frontend_impl="xla")
+
+
+def test_store_shapes_and_lengths():
+    store = make_store()
+    assert store.n_clips == 6
+    t = AUDIO.num_frames(AUDIO.num_samples(1.0))
+    assert store.feats.shape == (6, t, AUDIO.n_mfcc)
+    assert store.poses.shape == (6, t, LAYOUT.pose_dim)
+    assert np.all(np.asarray(store.lengths) == t)
+
+
+def test_sample_windows_are_valid():
+    store = make_store()
+    n = 10
+    batch = jax.jit(lambda k: store.sample(k, 8, n))(jax.random.key(1))
+    assert batch["feats"].shape == (8, n, AUDIO.n_mfcc)
+    assert batch["poses"].shape == (8, n, LAYOUT.pose_dim)
+    assert np.isfinite(np.asarray(batch["feats"])).all()
+    # windows come from real data, not padding: no all-zero rows
+    assert not np.any(np.all(np.asarray(batch["poses"]) == 0.0, axis=(1, 2)))
+
+
+def test_sample_is_deterministic_and_key_sensitive():
+    store = make_store()
+    a = store.sample(jax.random.key(2), 4, 8)
+    b = store.sample(jax.random.key(2), 4, 8)
+    c = store.sample(jax.random.key(3), 4, 8)
+    np.testing.assert_array_equal(np.asarray(a["feats"]), np.asarray(b["feats"]))
+    assert not np.allclose(np.asarray(a["feats"]), np.asarray(c["feats"]))
+
+
+def test_sampling_train_step():
+    store = make_store()
+    tc = TrainConfig(batch_size=4)
+    n = 10
+    sample = store.sample(jax.random.key(0), 4, n)
+    state = init_state(jax.random.key(1), GAN, tc, sample)
+    step = jax.jit(make_sampling_train_step(GAN, tc, store, n))
+    for _ in range(3):
+        state, metrics = step(state)
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_sharded_sampling_train_step():
+    from music2dance_tpu.parallel import make_mesh
+
+    store = make_store()
+    tc = TrainConfig(batch_size=2)  # per-shard
+    n = 10
+    sample = store.sample(jax.random.key(0), 2, n)
+    state = init_state(jax.random.key(1), GAN, tc, sample)
+    mesh = make_mesh(4)
+    step = shard_sampling_train_step(GAN, tc, store, n, mesh, donate=False)
+    state, metrics = step(state)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["d_loss"]))

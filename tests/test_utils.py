@@ -1,0 +1,65 @@
+"""Utils coverage: metrics logger, step timer, visualization, tracing."""
+
+import json
+import os
+
+import numpy as np
+
+from music2dance_tpu.utils.logging import MetricsLogger
+from music2dance_tpu.utils.profiling import StepTimer, synchronize, trace
+from music2dance_tpu.utils.visualize import plot_pose_trajectories, render_pose_video
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    with MetricsLogger(str(tmp_path), stream=None) as log:
+        log.log(1, {"d_loss": 1.5, "g_loss": -0.5})
+        log.log(2, {"d_loss": 1.2, "g_loss": -0.4})
+    path = tmp_path / "metrics.jsonl"
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2
+    assert lines[0]["d_loss"] == 1.5
+    assert "steps_per_sec" in lines[1]
+
+
+def test_step_timer():
+    import jax.numpy as jnp
+
+    t = StepTimer(window=3)
+    x = jnp.ones(4)
+    ticks = [t.tick(x) for _ in range(7)]
+    assert ticks.count(True) == 2
+    assert t.steps_per_sec is not None and t.steps_per_sec > 0
+
+
+def test_synchronize_returns_scalar():
+    import jax.numpy as jnp
+
+    v = synchronize({"a": jnp.ones((2, 3))})
+    assert v == 6.0
+
+
+def test_render_pose_video(tmp_path):
+    poses = np.cumsum(
+        np.random.default_rng(0).standard_normal((8, 5, 3)) * 0.1, axis=0
+    )
+    path = str(tmp_path / "dance.gif")
+    render_pose_video(poses, path, fps=4, skeleton=[(0, 1), (1, 2)])
+    assert os.path.getsize(path) > 0
+
+
+def test_plot_pose_trajectories(tmp_path):
+    poses = np.random.default_rng(0).standard_normal((20, 6, 3))
+    path = str(tmp_path / "traj.png")
+    plot_pose_trajectories(poses, path)
+    assert os.path.getsize(path) > 0
+
+
+def test_profiler_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path)):
+        jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready()
+    # a trace directory with at least one file appears
+    found = any(files for _, _, files in os.walk(tmp_path))
+    assert found
