@@ -81,3 +81,28 @@ def test_sharded_sampling_train_step():
     state, metrics = step(state)
     assert int(state.step) == 1
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_train_from_store_loop(tmp_path):
+    from music2dance_tpu.train.loop import train_from_store
+
+    store = make_store()
+    tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
+                     log_every=2, ckpt_every=4)
+    state = train_from_store(
+        GAN, tc, AUDIO, store, total_steps=4,
+        ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+    )
+    assert int(state.step) == 4
+    import os
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
+def test_train_from_store_dp():
+    from music2dance_tpu.parallel import make_mesh
+    from music2dance_tpu.train.loop import train_from_store
+
+    store = make_store()
+    tc = TrainConfig(batch_size=2, clip_seconds=10 / AUDIO.feature_rate, log_every=2)
+    state = train_from_store(GAN, tc, AUDIO, store, total_steps=2, mesh=make_mesh(4))
+    assert int(state.step) == 2

@@ -24,6 +24,12 @@ flags.DEFINE_integer("dp", 0, "data-parallel devices (0 = single device)")
 flags.DEFINE_integer("seed", 0, "rng seed")
 flags.DEFINE_integer("workers", 0, "grain worker processes for host decode")
 flags.DEFINE_string("trace_dir", None, "capture a jax.profiler trace here")
+flags.DEFINE_enum("input_mode", "stream", ["stream", "feature_cache", "device_store"],
+                  "stream: raw waves per step; feature_cache: preprocess-time "
+                  "feature pipeline; device_store: whole cached dataset in HBM "
+                  "with on-device sampling (fastest when it fits)")
+flags.DEFINE_string("cache_dir", None, "feature cache directory (.npz)")
+flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
 
 
 def main(argv):
@@ -40,6 +46,18 @@ def main(argv):
     from music2dance_tpu.utils.profiling import trace
 
     p = preset(FLAGS.preset)
+    if FLAGS.bf16:
+        import dataclasses
+
+        from music2dance_tpu.models.configs import GANConfig
+
+        p = dataclasses.replace(
+            p,
+            gan=GANConfig(
+                generator=dataclasses.replace(p.gan.generator, dtype="bfloat16"),
+                discriminator=dataclasses.replace(p.gan.discriminator, dtype="bfloat16"),
+            ),
+        )
     layout = p.gan.generator.layout
 
     if FLAGS.data_dir:
@@ -51,10 +69,6 @@ def main(argv):
     else:
         raise app.UsageError("pass --data_dir or --synthetic")
 
-    ds = make_dataset(
-        source, p.train.batch_size, p.train.clip_seconds, p.audio,
-        seed=FLAGS.seed, num_workers=FLAGS.workers,
-    )
     mesh = make_mesh(FLAGS.dp) if FLAGS.dp > 0 else None
 
     state = None
@@ -63,12 +77,41 @@ def main(argv):
 
         _, _, state = restore_bundle(FLAGS.restore)
 
-    def run():
-        return train(
-            p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
-            ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
-            state=state, seed=FLAGS.seed,
+    if FLAGS.input_mode == "device_store":
+        from music2dance_tpu.data.device_store import DeviceFeatureStore
+        from music2dance_tpu.train.loop import train_from_store
+
+        store = DeviceFeatureStore.from_source(
+            source, p.audio, cache_dir=FLAGS.cache_dir
         )
+
+        def run():
+            return train_from_store(
+                p.gan, p.train, p.audio, store, FLAGS.steps,
+                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
+                state=state, seed=FLAGS.seed,
+            )
+    else:
+        if FLAGS.input_mode == "feature_cache":
+            from music2dance_tpu.data.cache import make_feature_dataset
+
+            ds = make_feature_dataset(
+                source, p.train.batch_size, p.train.clip_seconds, p.audio,
+                seed=FLAGS.seed, num_workers=FLAGS.workers,
+                cache_dir=FLAGS.cache_dir,
+            )
+        else:
+            ds = make_dataset(
+                source, p.train.batch_size, p.train.clip_seconds, p.audio,
+                seed=FLAGS.seed, num_workers=FLAGS.workers,
+            )
+
+        def run():
+            return train(
+                p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
+                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
+                state=state, seed=FLAGS.seed,
+            )
 
     if FLAGS.trace_dir:
         with trace(FLAGS.trace_dir):
