@@ -18,7 +18,7 @@ flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzCli
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
 flags.DEFINE_integer("synthetic_clips", 256, "synthetic dataset size")
 flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
-flags.DEFINE_string("log_dir", None, "metrics JSONL directory")
+flags.DEFINE_string("metrics_dir", None, "metrics JSONL directory")
 flags.DEFINE_string("restore", None, "checkpoint to resume from")
 flags.DEFINE_integer("dp", 0, "data-parallel devices (0 = single device)")
 flags.DEFINE_integer("seed", 0, "rng seed")
@@ -88,7 +88,7 @@ def main(argv):
         def run():
             return train_from_store(
                 p.gan, p.train, p.audio, store, FLAGS.steps,
-                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
+                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
                 state=state, seed=FLAGS.seed,
             )
     else:
@@ -109,7 +109,7 @@ def main(argv):
         def run():
             return train(
                 p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
-                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.log_dir, mesh=mesh,
+                ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
                 state=state, seed=FLAGS.seed,
             )
 
