@@ -62,7 +62,9 @@ class DiscriminatorConfig:
     conv_dim: int = 128
     conv_layers: int = 2
     conv_kernel: int = 5
-    # recurrent core
+    conv_dilation: int = 1         # >1: dilated (TCN-style) receptive field
+    # recurrent core; rnn_layers=0 selects the conv-only (TCN) critic,
+    # whose GP second-order path is scan-free (pure MXU)
     hidden_dim: int = 512
     rnn_layers: int = 1
     cell: str = "gru"

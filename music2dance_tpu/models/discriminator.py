@@ -67,8 +67,25 @@ class Discriminator(nn.Module):
 
         for l in range(cfg.conv_layers):
             x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME",
-                        name=f"conv_{l}", dtype=cfg.dtype)(x)
+                        name=f"conv_{l}", dtype=cfg.dtype,
+                        kernel_dilation=(cfg.conv_dilation**l,))(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
+
+        if cfg.rnn_layers == 0:
+            # conv-only (TCN) critic: no scan at all — every op is a conv/
+            # matmul, which makes the WGAN-GP second-order autodiff path
+            # pure MXU work (fastest critic on TPU; "recurrent/conv stacks"
+            # [BASELINE] admits both families)
+            h = nn.leaky_relu(
+                nn.Dense(cfg.hidden_dim, name="tcn_fc", dtype=cfg.dtype)(x), 0.2
+            )
+            scores = nn.Dense(1, name="score", dtype="float32")(
+                h.astype(jnp.float32)
+            )  # [B, T, 1]
+            score = jnp.mean(scores, axis=(1, 2))
+            if return_carry:
+                return score, self.init_carry(b)
+            return score
 
         gi = nn.Dense(g * cfg.hidden_dim, name="ih0", dtype=cfg.dtype)(x)  # hoisted
 

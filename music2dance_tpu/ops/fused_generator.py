@@ -1,0 +1,229 @@
+"""Fused Pallas kernel for the generator's autoregressive time scan.
+
+Why: the XLA `lax.scan` pays ~8-10 us of loop machinery per timestep
+(buffer rotation, while-loop bookkeeping) — at T=181 and several scan
+passes per train step that overhead IS the train-step cost (profiled in
+round 1; neither `_split_transpose` nor `unroll` moved it). This kernel
+runs the ENTIRE sequential part of the generator — pose-feedback
+projection, L GRU layers, pose head, residual integration — as one Pallas
+grid with all weights VMEM-resident, reducing per-step cost to the raw
+MXU/VPU work.
+
+Scope (guarded in `fused_generator_forward`):
+- cell "gru", autoregressive mode (the training/inference default);
+  teacher forcing falls back to the XLA scan.
+- hidden_dim % 128 == 0 for the compiled TPU path (gate splits are
+  lane-dimension slices); any size works in interpret mode (CPU tests).
+
+Time-major layout [T, B, ...] inside the op: the per-step slice is then an
+index on an untiled leading axis (free), never a lane/sublane slice.
+
+The backward pass is two-phase (ops/fused_generator_vjp.py): a sequential
+Pallas kernel for the cotangent chain, then batched XLA matmuls for all
+weight gradients — the weight-gradient accumulators never fight the
+recurrence for VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.configs import GeneratorConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
+    if cfg.cell != "gru" or not cfg.autoregressive:
+        return False
+    if not interpret and (cfg.hidden_dim % 128 != 0):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Weight plumbing: flax param tree -> flat tuple in a fixed order
+# ---------------------------------------------------------------------------
+
+def weight_names(cfg: GeneratorConfig) -> list[str]:
+    names = ["ih0_pose.kernel"]
+    for l in range(cfg.rnn_layers):
+        names += [f"core.cell_l{l}.hh.kernel", f"core.cell_l{l}.hh.bias"]
+        if l > 0:
+            names += [f"core.ih_l{l}.kernel", f"core.ih_l{l}.bias"]
+    names += ["head_fc.kernel", "head_fc.bias", "head_out.kernel", "head_out.bias"]
+    return names
+
+
+def extract_step_weights(step_params: Any, cfg: GeneratorConfig) -> tuple:
+    """params['step'] subtree -> flat weight tuple (order = weight_names)."""
+
+    def get(path: str):
+        node = step_params
+        for part in path.split("."):
+            node = node[part]
+        return node
+
+    return tuple(get(n) for n in weight_names(cfg))
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _gru_gates(x, gh, hidden):
+    i_r, i_z, i_n = x[:, :hidden], x[:, hidden : 2 * hidden], x[:, 2 * hidden :]
+    h_r, h_z, h_n = gh[:, :hidden], gh[:, hidden : 2 * hidden], gh[:, 2 * hidden :]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return r, z, n
+
+
+def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: int):
+    (gi_ref, h0_ref, prev0_ref), w_refs = refs[:3], refs[3 : 3 + n_weights]
+    poses_ref, hprev_ref, pprev_ref, hfin_ref, pfin_ref = refs[3 + n_weights : 8 + n_weights]
+    h_scr, prev_scr = refs[8 + n_weights :]
+
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    i = pl.program_id(0)
+
+    weights = {n: r for n, r in zip(weight_names(cfg), w_refs)}
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[...] = h0_ref[...]
+        prev_scr[...] = prev0_ref[...]
+
+    def step(t, _):
+        @pl.when(i * tb + t < t_total)
+        def _():
+            gi_s = gi_ref[t]          # [B, 3H]
+            prev = prev_scr[...]      # [B, P]
+            pprev_ref[t] = prev
+            for l in range(layers):
+                hprev_ref[t, l] = h_scr[l]
+
+            x = gi_s + jnp.dot(
+                prev, weights["ih0_pose.kernel"][...],
+                preferred_element_type=jnp.float32,
+            )
+            h_new = None
+            for l in range(layers):
+                h = h_scr[l]
+                gh = jnp.dot(
+                    h, weights[f"core.cell_l{l}.hh.kernel"][...],
+                    preferred_element_type=jnp.float32,
+                ) + weights[f"core.cell_l{l}.hh.bias"][...]
+                r, z, n = _gru_gates(x, gh, hidden)
+                h_new = (1.0 - z) * n + z * h
+                h_scr[l] = h_new
+                if l + 1 < layers:
+                    x = jnp.dot(
+                        h_new, weights[f"core.ih_l{l + 1}.kernel"][...],
+                        preferred_element_type=jnp.float32,
+                    ) + weights[f"core.ih_l{l + 1}.bias"][...]
+
+            y = jax.nn.relu(
+                jnp.dot(h_new, weights["head_fc.kernel"][...],
+                        preferred_element_type=jnp.float32)
+                + weights["head_fc.bias"][...]
+            )
+            out = jnp.dot(
+                y, weights["head_out.kernel"][...],
+                preferred_element_type=jnp.float32,
+            ) + weights["head_out.bias"][...]
+            pose = prev + out if cfg.residual_pose else out
+            poses_ref[t] = pose
+            prev_scr[...] = pose
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        hfin_ref[...] = h_scr[...]
+        pfin_ref[...] = prev_scr[...]
+
+
+def fused_generator_forward(
+    gi_static: jax.Array,   # [B, T, G*H] hoisted input projection (batch-major)
+    h0: jax.Array,          # [L, B, H]
+    prev0: jax.Array,       # [B, P]
+    weights: tuple,         # extract_step_weights order
+    cfg: GeneratorConfig,
+    tb: int = 8,
+    interpret: bool | None = None,
+):
+    """Returns (poses [B,T,P], hprev [T,L,B,H], pprev [T,B,P],
+    h_final [L,B,H], prev_final [B,P])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not supports_fused(cfg, interpret):
+        raise ValueError("config not supported by the fused generator kernel")
+
+    b, t, gh3 = gi_static.shape
+    hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
+    assert gh3 == 3 * hidden
+
+    t_pad = _round_up(t, tb)
+    gi_tm = jnp.swapaxes(gi_static, 0, 1)  # [T, B, 3H]
+    if t_pad != t:
+        gi_tm = jnp.pad(gi_tm, ((0, t_pad - t), (0, 0), (0, 0)))
+    n_blocks = t_pad // tb
+
+    # biases as [1, D] rows (TPU wants >= 2D)
+    weights = tuple(w if w.ndim > 1 else w[None, :] for w in weights)
+    names = weight_names(cfg)
+    n_weights = len(names)
+
+    kern = functools.partial(
+        _fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=n_weights
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tb, b, 3 * hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+            const((b, p_dim)),
+        ] + [const(w.shape) for w in weights],
+        out_specs=[
+            pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+            const((b, p_dim)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((layers, b, hidden), jnp.float32),
+            pltpu.VMEM((b, p_dim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gi_tm, h0, prev0, *weights)
+
+    poses_tm, hprev, pprev, h_fin, p_fin = outs
+    poses = jnp.swapaxes(poses_tm[:t], 0, 1)  # [B, T, P]
+    return poses, hprev[:t], pprev[:t], h_fin, p_fin

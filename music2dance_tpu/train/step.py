@@ -110,17 +110,39 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         return gen.apply(g_params, feats, z)
 
     def d_loss_fn(d_params, g_params, batch, key):
+        """Critic loss with ONE batched critic pass over [real; fake; x_hat].
+
+        The recurrent critic at small batch is iteration-latency-bound, not
+        FLOP-bound, so three separate D passes (real, fake, interpolates)
+        cost ~3x one pass at 3x batch. Concatenating them makes the
+        forward, the GP's inner input-gradient (via jax.vjp with a
+        selection cotangent), and the outer parameter gradient all ride a
+        single batched scan. Per-sample independence of the critic makes
+        this numerically identical to separate passes.
+        """
         feats, real = batch["feats"], batch["poses"]
+        b = real.shape[0]
         k_z, k_gp = jax.random.split(key)
         fake = jax.lax.stop_gradient(sample_fake(g_params, feats, k_z))
-        s_real = disc_apply(d_params, real, feats)
-        s_fake = disc_apply(d_params, fake, feats)
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), real.dtype))(
-            per_example_keys(k_gp, real.shape[0])
+            per_example_keys(k_gp, b)
         )
-        gp = gradient_penalty(
-            lambda p: disc_apply(d_params, p, feats), real, fake, alpha=alpha
+        a = alpha.reshape((b,) + (1,) * (real.ndim - 1))
+        x_hat = a * real + (1.0 - a) * fake
+
+        x_all = jnp.concatenate([real, fake, x_hat], axis=0)
+        f_all = jnp.concatenate([feats] * 3, axis=0)
+        scores, pullback = jax.vjp(lambda x: disc_apply(d_params, x, f_all), x_all)
+        sel = jnp.concatenate(
+            [jnp.zeros((2 * b,), scores.dtype), jnp.ones((b,), scores.dtype)]
         )
+        (gx,) = pullback(sel)
+        g_hat = gx[2 * b :]
+        sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+        norms = jnp.sqrt(sq + 1e-12)
+        gp = jnp.mean((norms - 1.0) ** 2)
+
+        s_real, s_fake = scores[:b], scores[b : 2 * b]
         loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
         aux = {
             "d_loss": loss,

@@ -173,3 +173,30 @@ def test_full_config_builds():
     poses = gen.apply(gp, feats, z)
     dp = disc.init(jax.random.key(1), poses, feats)
     assert disc.apply(dp, poses, feats).shape == (2,)
+
+
+def test_tcn_critic():
+    """rnn_layers=0 selects the scan-free conv-only critic."""
+    cfg = DiscriminatorConfig(
+        layout=LAYOUT, feature_dim=F, conv_dim=16, conv_layers=3,
+        conv_dilation=2, hidden_dim=32, rnn_layers=0,
+    )
+    disc = Discriminator(cfg)
+    feats, _, poses = make_inputs(jax.random.key(0))
+    params = disc.init(jax.random.key(1), poses, feats)
+    score = disc.apply(params, poses, feats)
+    assert score.shape == (B,)
+    assert np.isfinite(np.asarray(score)).all()
+    # no scan params in the tree
+    assert "step" not in params["params"]
+    # gradient penalty second-order works through the conv critic
+    from music2dance_tpu.train.losses import gradient_penalty
+
+    gp_grad = jax.grad(
+        lambda p: gradient_penalty(
+            lambda x: disc.apply(p, x, feats), poses, poses * 0.5,
+            alpha=jnp.full((B,), 0.3),
+        )
+    )(params)
+    for leaf in jax.tree.leaves(gp_grad):
+        assert np.isfinite(np.asarray(leaf)).all()
