@@ -43,7 +43,7 @@ def test_sharded_step_equals_single_device_step():
 
     for k in ref_metrics:
         np.testing.assert_allclose(
-            float(dp_metrics[k]), float(ref_metrics[k]), rtol=2e-4, atol=2e-5,
+            float(dp_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=5e-5,
             err_msg=f"metric {k}",
         )
     for (pa, a), (pb, b) in zip(
