@@ -51,7 +51,7 @@ def test_sharded_step_equals_single_device_step():
         jax.tree_util.tree_leaves_with_path(dp_state.g_params),
     ):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4,
             err_msg=f"g_param {jax.tree_util.keystr(pa)}",
         )
     for (pa, a), (pb, b) in zip(
@@ -59,7 +59,7 @@ def test_sharded_step_equals_single_device_step():
         jax.tree_util.tree_leaves_with_path(dp_state.d_params),
     ):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4,
             err_msg=f"d_param {jax.tree_util.keystr(pa)}",
         )
 
