@@ -162,7 +162,7 @@ def fused_generator_forward(
     prev0: jax.Array,       # [B, P]
     weights: tuple,         # extract_step_weights order
     cfg: GeneratorConfig,
-    tb: int = 8,
+    tb: int = 4,
     interpret: bool | None = None,
 ):
     """Returns (poses [B,T,P], hprev [T,L,B,H], pprev [T,B,P],
@@ -227,3 +227,57 @@ def fused_generator_forward(
     poses_tm, hprev, pprev, h_fin, p_fin = outs
     poses = jnp.swapaxes(poses_tm[:t], 0, 1)  # [B, T, P]
     return poses, hprev[:t], pprev[:t], h_fin, p_fin
+
+
+# ---------------------------------------------------------------------------
+# Drop-in apply: flax param tree -> fused forward
+# ---------------------------------------------------------------------------
+
+def compute_gi_static(params: Any, cfg: GeneratorConfig, feats: jax.Array, z: jax.Array):
+    """Replicates Generator's hoisted path (encoder + ih0_static) from the
+    param tree with raw lax ops — the fused kernel consumes its output."""
+    x = feats
+    for l in range(cfg.enc_layers):
+        leaf = params["encoder"][f"conv_{l}"]
+        x = jax.lax.conv_general_dilated(
+            x, leaf["kernel"], (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + leaf["bias"]
+        x = jax.nn.relu(x)
+    b, t = feats.shape[:2]
+    z_seq = jnp.broadcast_to(z[:, None, :], (b, t, cfg.noise_dim))
+    static_in = jnp.concatenate([x, z_seq], axis=-1)
+    leaf = params["ih0_static"]
+    return jnp.matmul(static_in, leaf["kernel"]) + leaf["bias"]
+
+
+def fused_apply(
+    variables: Any,
+    cfg: GeneratorConfig,
+    feats: jax.Array,
+    z: jax.Array,
+    carry=None,
+    return_carry: bool = False,
+    tb: int = 4,
+    interpret: bool | None = None,
+):
+    """Fused-kernel equivalent of Generator.apply (forward).
+
+    Same contract: poses [B, T, P] (+ final carry), same parameters, same
+    numerics up to matmul rounding (tests/test_fused_generator.py).
+    """
+    params = variables.get("params", variables)
+    b = feats.shape[0]
+    gi = compute_gi_static(params, cfg, feats, z)
+    if carry is None:
+        h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        prev0 = jnp.zeros((b, cfg.pose_dim), jnp.float32)
+    else:
+        h0, prev0 = carry
+    w = extract_step_weights(params["step"], cfg)
+    poses, _hprev, _pprev, h_fin, p_fin = fused_generator_forward(
+        gi, h0, prev0, w, cfg, tb=tb, interpret=interpret
+    )
+    if return_carry:
+        return poses, (h_fin, p_fin)
+    return poses

@@ -102,11 +102,25 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         idx = start + jnp.arange(local_b)
         return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
 
-    def sample_fake(g_params, feats, key):
-        keys = per_example_keys(key, feats.shape[0])
-        z = jax.vmap(
-            lambda k: jax.random.normal(k, (gan.generator.noise_dim,), feats.dtype)
+    # The critic-phase fake batch is stop-gradient-ed, so its generation is
+    # forward-only — use the fused Pallas scan on TPU (exact same outputs).
+    # The generator phase needs gradients through G and keeps the XLA scan.
+    from ..ops.fused_generator import fused_apply, supports_fused
+
+    fused_fwd_ok = jax.default_backend() == "tpu" and supports_fused(
+        gan.generator, interpret=False
+    )
+
+    def sample_z(key, b, dtype):
+        keys = per_example_keys(key, b)
+        return jax.vmap(
+            lambda k: jax.random.normal(k, (gan.generator.noise_dim,), dtype)
         )(keys)
+
+    def sample_fake(g_params, feats, key, forward_only=False):
+        z = sample_z(key, feats.shape[0], feats.dtype)
+        if forward_only and fused_fwd_ok:
+            return fused_apply(g_params, gan.generator, feats, z, interpret=False)
         return gen.apply(g_params, feats, z)
 
     def d_loss_fn(d_params, g_params, batch, key):
@@ -123,7 +137,9 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         feats, real = batch["feats"], batch["poses"]
         b = real.shape[0]
         k_z, k_gp = jax.random.split(key)
-        fake = jax.lax.stop_gradient(sample_fake(g_params, feats, k_z))
+        fake = jax.lax.stop_gradient(
+            sample_fake(g_params, feats, k_z, forward_only=True)
+        )
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), real.dtype))(
             per_example_keys(k_gp, b)
         )

@@ -1,0 +1,81 @@
+"""Fused generator kernel vs the XLA scan: exact forward equivalence
+(interpret mode on CPU; the compiled TPU path is exercised by
+benchmarks/run_fused.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music2dance_tpu.models import Generator, GeneratorConfig, JointLayout
+from music2dance_tpu.ops.fused_generator import (
+    compute_gi_static,
+    fused_apply,
+    supports_fused,
+)
+
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+
+
+def make_gen(layers=2, hidden=32, residual=True):
+    cfg = GeneratorConfig(
+        layout=LAYOUT, feature_dim=13, noise_dim=8, enc_dim=16, enc_layers=2,
+        enc_kernel=3, hidden_dim=hidden, rnn_layers=layers, cell="gru",
+        head_hidden=16, residual_pose=residual,
+    )
+    gen = Generator(cfg)
+    feats = jax.random.normal(jax.random.key(0), (4, 21, 13))  # T=21 ragged vs tb=8
+    z = jax.random.normal(jax.random.key(1), (4, 8))
+    params = gen.init(jax.random.key(2), feats, z)
+    return cfg, gen, params, feats, z
+
+
+def test_gi_static_matches_flax():
+    cfg, gen, params, feats, z = make_gen()
+    # reference gi_static via a forward with zeroed step weights is awkward;
+    # instead check the full fused forward below — here just shape/finite
+    gi = compute_gi_static(params["params"], cfg, feats, z)
+    assert gi.shape == (4, 21, 3 * cfg.hidden_dim)
+    assert np.isfinite(np.asarray(gi)).all()
+
+
+@pytest.mark.parametrize("layers", [1, 2])
+@pytest.mark.parametrize("residual", [True, False])
+def test_fused_forward_equals_xla_scan(layers, residual):
+    cfg, gen, params, feats, z = make_gen(layers=layers, residual=residual)
+    ref = gen.apply(params, feats, z)
+    out = fused_apply(params, cfg, feats, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_forward_with_carry():
+    cfg, gen, params, feats, z = make_gen()
+    ref, ref_carry = gen.apply(params, feats, z, return_carry=True)
+    out, (h_fin, p_fin) = fused_apply(params, cfg, feats, z, return_carry=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_fin), np.asarray(ref_carry[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_fin), np.asarray(ref_carry[1]), rtol=1e-5, atol=1e-5)
+
+    # continue from the carry: fused(first half) + fused(second half) == full
+    h = 12
+    cfg1, gen1, params1, feats1, z1 = make_gen()
+    cfg1 = GeneratorConfig(**{**cfg1.__dict__, "enc_kernel": 1})
+    gen1 = Generator(cfg1)
+    params1 = gen1.init(jax.random.key(2), feats1, z1)
+    full = fused_apply(params1, cfg1, feats1, z1)
+    first, carry = fused_apply(params1, cfg1, feats1[:, :h], z1, return_carry=True)
+    second = fused_apply(params1, cfg1, feats1[:, h:], z1, carry=carry)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([first, second], axis=1)),
+        np.asarray(full), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_supports_fused_guards():
+    cfg, *_ = make_gen()
+    assert supports_fused(cfg, interpret=True)
+    assert not supports_fused(cfg, interpret=False)  # hidden=32 not 128-aligned
+    lstm = GeneratorConfig(**{**cfg.__dict__, "cell": "lstm"})
+    assert not supports_fused(lstm, interpret=True)
+    nar = GeneratorConfig(**{**cfg.__dict__, "autoregressive": False})
+    assert not supports_fused(nar, interpret=True)
