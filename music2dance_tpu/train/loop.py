@@ -57,39 +57,43 @@ def train_from_store(
         step = make_sampling_train_step(gan, tc, store, n_frames, axis_name="data")
         from jax.sharding import PartitionSpec as P
 
-        def chunk_body(st, _):
-            return step(st)
+        def make_chunk(length):
+            def chunk_fn(st):
+                return jax.lax.scan(lambda s, _: step(s), st, None, length=length)
 
-        def chunk_fn(st):
-            return jax.lax.scan(chunk_body, st, None, length=tc.log_every)
-
-        chunk = jax.jit(
-            jax.shard_map(
-                chunk_fn, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
-                check_vma=False,
+            return jax.jit(
+                jax.shard_map(
+                    chunk_fn, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+                    check_vma=False,
+                )
             )
-        )
     else:
         step = make_sampling_train_step(gan, tc, store, n_frames)
 
-        @jax.jit
-        def chunk(st):
-            return jax.lax.scan(lambda s, _: step(s), st, None, length=tc.log_every)
+        def make_chunk(length):
+            return jax.jit(
+                lambda st: jax.lax.scan(lambda s, _: step(s), st, None, length=length)
+            )
 
+    chunk_len = min(tc.log_every, total_steps)
+    chunk = make_chunk(chunk_len)
     logger = MetricsLogger(log_dir)
     import time as _time
 
     try:
         done = 0
         while done < total_steps:
+            if total_steps - done < chunk_len:  # final partial chunk
+                chunk_len = total_steps - done
+                chunk = make_chunk(chunk_len)
             t0 = _time.perf_counter()
             state, metrics_seq = chunk(state)
             last = jax.tree.map(lambda x: x[-1], metrics_seq)
             synchronize(last)  # real barrier (+ makes the fetch below cheap)
             dt = _time.perf_counter() - t0
-            done += tc.log_every
-            logger.log(done, {**last, "steps_per_sec": tc.log_every / dt})
-            if ckpt_dir is not None and done % tc.ckpt_every < tc.log_every:
+            done += chunk_len
+            logger.log(done, {**last, "steps_per_sec": chunk_len / dt})
+            if ckpt_dir is not None and done % tc.ckpt_every < chunk_len:
                 save_checkpoint(ckpt_dir, state, gan, audio, tc)
         if ckpt_dir is not None:
             save_checkpoint(ckpt_dir, state, gan, audio, tc)
