@@ -5,7 +5,13 @@ from __future__ import annotations
 import dataclasses
 
 from ..audio import AudioConfig
-from ..models.configs import GANConfig, JointLayout, full_gan, tiny_gan
+from ..models.configs import (
+    DiscriminatorConfig,
+    GANConfig,
+    JointLayout,
+    full_gan,
+    tiny_gan,
+)
 from ..train.config import TrainConfig
 
 
@@ -51,9 +57,27 @@ def preset(name: str, layout: JointLayout = JointLayout()) -> Preset:
             audio,
         ),
     }
+    # Performance preset: same generator, conv-only (TCN) critic with a
+    # dilated receptive field. "recurrent/conv stacks" [BASELINE] admits
+    # both critic families; the scan-free critic makes the WGAN-GP
+    # second-order path pure MXU work (~2.4x steps/sec vs the rnn critic
+    # on v5e; benchmarks/run_perf.py).
+    table["perf"] = Preset(
+        "perf",
+        "full generator + dilated conv (TCN) critic, batch 32, 6 s clips",
+        GANConfig(
+            generator=full_gan(f, layout).generator,
+            discriminator=dataclasses.replace(
+                full_gan(f, layout).discriminator,
+                rnn_layers=0, conv_layers=4, conv_dilation=2, conv_dim=256,
+            ),
+        ),
+        TrainConfig(batch_size=32, clip_seconds=6.0),
+        audio,
+    )
     if name not in table:
         raise KeyError(f"unknown preset {name!r}; have {sorted(table)}")
     return table[name]
 
 
-PRESET_NAMES = ("tiny", "full", "long")
+PRESET_NAMES = ("tiny", "full", "long", "perf")

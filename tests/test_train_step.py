@@ -95,3 +95,25 @@ def test_determinism():
     s2, m2 = step(init_state(jax.random.key(0), GAN, tc, batch), batch)
     assert float(m1["d_loss"]) == float(m2["d_loss"])
     assert leaves_allclose(s1.g_params, s2.g_params)
+
+
+def test_perf_preset_trains():
+    """The TCN-critic performance preset: one step, finite, GP active."""
+    import dataclasses
+
+    from music2dance_tpu.models import GANConfig
+
+    gan = GAN
+    gan = GANConfig(
+        generator=gan.generator,
+        discriminator=dataclasses.replace(
+            gan.discriminator, rnn_layers=0, conv_layers=3, conv_dilation=2
+        ),
+    )
+    tc = TrainConfig(batch_size=8)
+    batch = make_batch()
+    state = init_state(jax.random.key(0), gan, tc, batch)
+    new_state, metrics = jax.jit(make_train_step(gan, tc))(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert float(metrics["gp"]) > 0.0
+    assert not leaves_allclose(new_state.d_params, state.d_params)
