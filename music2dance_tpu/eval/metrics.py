@@ -1,0 +1,119 @@
+"""Quantitative evaluation of generated dance.
+
+The reference class of repo evaluates qualitatively (rendered videos —
+SURVEY.md §2 C11); this module adds the standard quantitative metrics of
+the music-to-dance literature so training runs are comparable without
+eyeballing: kinematic statistics (how much/how smoothly it moves),
+inter-sequence diversity (mode-collapse detector), and music-beat
+alignment (does the motion land on the music).
+
+All metrics are jittable jnp functions over [B, T, J, D] pose batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..audio import AudioConfig, melspectrogram, power_to_db
+
+
+def motion_statistics(poses: jax.Array) -> dict:
+    """[B, T, J, D] -> velocity / acceleration / jerk magnitudes (per frame).
+
+    Dead motion (frozen generator) shows up as ~0 velocity; jittering
+    shows up as jerk >> velocity.
+    """
+    vel = poses[:, 1:] - poses[:, :-1]
+    acc = vel[:, 1:] - vel[:, :-1]
+    jerk = acc[:, 1:] - acc[:, :-1]
+
+    def mag(x):
+        return jnp.mean(jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12))
+
+    return {
+        "mean_velocity": mag(vel),
+        "mean_acceleration": mag(acc),
+        "mean_jerk": mag(jerk),
+        "pose_std": jnp.mean(jnp.std(poses, axis=1)),
+    }
+
+
+def motion_diversity(poses: jax.Array) -> jax.Array:
+    """Mean pairwise L2 distance between sequences in the batch.
+
+    Near-zero diversity across different noise draws = mode collapse.
+    """
+    b = poses.shape[0]
+    flat = poses.reshape(b, -1)
+    diffs = flat[:, None, :] - flat[None, :, :]
+    d = jnp.sqrt(jnp.sum(diffs * diffs, axis=-1) + 1e-12)
+    off_diag = jnp.sum(d) / (b * (b - 1))
+    return off_diag / jnp.sqrt(flat.shape[-1])  # per-dimension scale
+
+
+def onset_envelope(wave: jax.Array, cfg: AudioConfig) -> jax.Array:
+    """[B, L] -> [B, T] spectral-flux onset strength at the feature rate
+    (the positive half-wave rectified log-mel difference, mean over mels —
+    the standard librosa-style onset signal, built from our own frontend).
+    """
+    logmel = power_to_db(melspectrogram(wave, cfg), cfg)  # [B, T, M]
+    flux = jnp.maximum(logmel[:, 1:] - logmel[:, :-1], 0.0).mean(axis=-1)
+    flux = jnp.pad(flux, ((0, 0), (1, 0)))
+    mean = jnp.mean(flux, axis=1, keepdims=True)
+    std = jnp.std(flux, axis=1, keepdims=True) + 1e-6
+    return (flux - mean) / std
+
+
+def kinematic_envelope(poses: jax.Array) -> jax.Array:
+    """[B, T, J, D] -> [B, T-ish] body-speed envelope, standardized.
+
+    Kinematic beats are the local minima of this envelope (dancers pause
+    on the beat); its correlation with the onset envelope measures beat
+    alignment without needing an explicit beat tracker.
+    """
+    vel = poses[:, 1:] - poses[:, :-1]
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=(-2, -1)) + 1e-12)
+    speed = jnp.pad(speed, ((0, 0), (1, 0)))
+    mean = jnp.mean(speed, axis=1, keepdims=True)
+    std = jnp.std(speed, axis=1, keepdims=True) + 1e-6
+    return (speed - mean) / std
+
+
+def beat_alignment(
+    poses: jax.Array, wave: jax.Array, cfg: AudioConfig, max_lag: int = 3
+) -> jax.Array:
+    """Max cross-correlation (over +-max_lag frames) between the negated
+    body-speed envelope and the onset envelope, averaged over the batch.
+    Higher = motion slows/accents where the music does. Range ~[-1, 1].
+    """
+    onset = onset_envelope(wave, cfg)
+    kin = kinematic_envelope(poses)
+    t = min(onset.shape[1], kin.shape[1])
+    onset, kin = onset[:, :t], -kin[:, :t]
+
+    def corr_at(lag):
+        if lag >= 0:
+            a, b_ = onset[:, lag:], kin[:, : t - lag]
+        else:
+            a, b_ = onset[:, :t + lag], kin[:, -lag:]
+        return jnp.mean(a * b_, axis=1)
+
+    corrs = jnp.stack([corr_at(l) for l in range(-max_lag, max_lag + 1)], axis=0)
+    return jnp.mean(jnp.max(corrs, axis=0))
+
+
+def evaluate_generation(
+    poses: jax.Array, real_poses: jax.Array, wave: jax.Array, cfg: AudioConfig
+) -> dict:
+    """Full metric suite for a generated batch vs its real counterpart."""
+    gen_stats = motion_statistics(poses)
+    real_stats = motion_statistics(real_poses)
+    return {
+        **{f"gen_{k}": v for k, v in gen_stats.items()},
+        **{f"real_{k}": v for k, v in real_stats.items()},
+        "gen_diversity": motion_diversity(poses),
+        "real_diversity": motion_diversity(real_poses),
+        "gen_beat_alignment": beat_alignment(poses, wave, cfg),
+        "real_beat_alignment": beat_alignment(real_poses, wave, cfg),
+    }
