@@ -45,6 +45,8 @@ def _round_up(x: int, m: int) -> int:
 def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
     if cfg.cell != "gru" or not cfg.autoregressive:
         return False
+    if cfg.dtype != "float32":  # kernel computes in f32; keep paths consistent
+        return False
     if not interpret and (cfg.hidden_dim % 128 != 0):
         return False
     return True

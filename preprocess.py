@@ -1,0 +1,54 @@
+"""CLI preprocessing: raw (wav, pose) pairs -> feature cache.
+
+Mirrors the reference's eager preprocess-and-cache step (SURVEY.md §1);
+the cache feeds the feature_cache / device_store training input modes.
+
+  python preprocess.py --data_dir songs/ --out_dir cache/
+  python preprocess.py --synthetic --out_dir cache/   # synthetic corpus
+"""
+
+from __future__ import annotations
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("data_dir", None, "directory of paired song.wav + song.npy poses")
+flags.DEFINE_bool("synthetic", False, "generate a synthetic corpus instead")
+flags.DEFINE_integer("synthetic_clips", 64, "synthetic corpus size")
+flags.DEFINE_float("synthetic_seconds", 6.0, "synthetic clip length")
+flags.DEFINE_string("out_dir", None, "output cache directory (.npz per clip)")
+flags.DEFINE_string("frontend", "auto", "frontend impl: auto | xla | pallas")
+flags.DEFINE_integer("seed", 0, "rng seed for synthetic data")
+flags.mark_flag_as_required("out_dir")
+
+
+def main(argv):
+    del argv
+    from music2dance_tpu.audio import AudioConfig
+    from music2dance_tpu.data.cache import PrecomputedFeatureSource
+    from music2dance_tpu.data.pipeline import SyntheticClipSource, WavPoseSource
+    from music2dance_tpu.models.configs import JointLayout
+
+    audio = AudioConfig()
+    if FLAGS.data_dir:
+        source = WavPoseSource(FLAGS.data_dir)
+    elif FLAGS.synthetic:
+        source = SyntheticClipSource(
+            FLAGS.synthetic_clips, FLAGS.synthetic_seconds, audio,
+            JointLayout(), FLAGS.seed,
+        )
+    else:
+        raise app.UsageError("pass --data_dir or --synthetic")
+
+    pre = PrecomputedFeatureSource(
+        source, audio, frontend_impl=FLAGS.frontend, cache_dir=FLAGS.out_dir
+    )
+    sample = pre[0]
+    print(
+        f"cached {len(pre)} clips -> {FLAGS.out_dir} "
+        f"(feats {sample['feats'].shape}, pose {sample['pose'].shape})"
+    )
+
+
+if __name__ == "__main__":
+    app.run(main)
