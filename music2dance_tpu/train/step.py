@@ -119,8 +119,14 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
 
     def sample_fake(g_params, feats, key, forward_only=False):
         z = sample_z(key, feats.shape[0], feats.dtype)
-        if forward_only and fused_fwd_ok:
-            return fused_apply(g_params, gan.generator, feats, z, interpret=False)
+        if fused_fwd_ok:
+            if forward_only:
+                return fused_apply(g_params, gan.generator, feats, z, interpret=False)
+            # generator phase: differentiable fused scan (custom two-phase
+            # VJP — ops/fused_generator_vjp.py; 1.5x the XLA g_loss grad)
+            from ..ops.fused_generator_vjp import fused_apply_diff
+
+            return fused_apply_diff(g_params, gan.generator, feats, z, interpret=False)
         return gen.apply(g_params, feats, z)
 
     def d_loss_fn(d_params, g_params, batch, key):
