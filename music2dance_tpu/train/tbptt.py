@@ -61,6 +61,24 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
 
+    # fused Pallas generator scan (forward-only in the critic phase,
+    # custom-VJP in the generator phase); carries chain across windows
+    from ..ops.fused_generator import fused_apply, supports_fused
+    from ..ops.fused_generator_vjp import fused_apply_diff
+
+    fused_ok = jax.default_backend() == "tpu" and supports_fused(
+        gan.generator, interpret=False
+    )
+
+    def gen_apply(g_params, wfeats, z, carry, diff):
+        if fused_ok:
+            fn = fused_apply_diff if diff else fused_apply
+            return fn(
+                g_params, gan.generator, wfeats, z,
+                carry=carry, return_carry=True, interpret=False,
+            )
+        return gen.apply(g_params, wfeats, z, carry=carry, return_carry=True)
+
     def pmean(x):
         return x if axis_name is None else jax.lax.pmean(x, axis_name)
 
@@ -86,9 +104,7 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
         b = wfeats.shape[0]
         k_z, k_gp = jax.random.split(key)
         z = sample_z(k_z, b, wfeats.dtype)
-        fake, g_d_new = gen.apply(
-            g_params, wfeats, z, carry=carries["g_d"], return_carry=True
-        )
+        fake, g_d_new = gen_apply(g_params, wfeats, z, carries["g_d"], diff=False)
         fake = jax.lax.stop_gradient(fake)
         g_d_new = jax.lax.stop_gradient(g_d_new)
         s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])
@@ -112,9 +128,7 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
     def g_loss_fn(g_params, d_params, wfeats, key, carries):
         b = wfeats.shape[0]
         z = sample_z(key, b, wfeats.dtype)
-        fake, g_g_new = gen.apply(
-            g_params, wfeats, z, carry=carries["g_g"], return_carry=True
-        )
+        fake, g_g_new = gen_apply(g_params, wfeats, z, carries["g_g"], diff=True)
         s_fake, d_gfake_new = d_apply(d_params, fake, wfeats, carries["d_gfake"])
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
         new_carries = {"g_g": g_g_new, "d_gfake": d_gfake_new}
