@@ -73,24 +73,62 @@ def save_checkpoint(
     gan: GANConfig,
     audio: AudioConfig,
     tc: TrainConfig,
+    step: Optional[int] = None,
+    max_to_keep: int = 3,
 ) -> None:
+    """Write a checkpoint bundle.
+
+    ``step=None``: single-slot bundle at ``path`` (overwritten each save).
+    ``step=N``: managed history under ``path/steps`` — step-numbered,
+    garbage-collected to the newest ``max_to_keep`` (production cadence;
+    any kept step is resumable — SURVEY.md §5 failure-recovery row).
+    """
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, STATE_DIR), _pack_state(state), force=True)
+    packed = _pack_state(state)
+    if step is None:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, STATE_DIR), packed, force=True)
+    else:
+        with ocp.CheckpointManager(
+            os.path.join(path, "steps"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        ) as mgr:
+            mgr.save(int(step), args=ocp.args.StandardSave(packed))
     with open(os.path.join(path, CONFIG_FILE), "w") as f:
         f.write(configs_to_json(gan, audio, tc))
 
 
-def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into the structure of ``template`` (from init_state)."""
+def checkpoint_steps(path: str) -> list[int]:
+    """Steps available in a managed (step-numbered) bundle."""
+    steps_dir = os.path.join(os.path.abspath(path), "steps")
+    if not os.path.isdir(steps_dir):
+        return []
+    with ocp.CheckpointManager(steps_dir) as mgr:
+        return sorted(mgr.all_steps())
+
+
+def restore_checkpoint(
+    path: str, template: TrainState, step: Optional[int] = None
+) -> TrainState:
+    """Restore into the structure of ``template`` (from init_state).
+
+    ``step``: a specific step from a managed bundle (default: the latest;
+    falls back to the single-slot layout when no managed steps exist).
+    """
     path = os.path.abspath(path)
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
         _pack_state(template),
     )
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.join(path, STATE_DIR), abstract)
+    steps = checkpoint_steps(path)
+    if step is not None or steps:
+        with ocp.CheckpointManager(os.path.join(path, "steps")) as mgr:
+            chosen = int(step) if step is not None else steps[-1]
+            restored = mgr.restore(chosen, args=ocp.args.StandardRestore(abstract))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.join(path, STATE_DIR), abstract)
     return _unpack_state(restored)
 
 

@@ -30,4 +30,5 @@ class TrainConfig:
     tbptt_window: int = 0
     # checkpointing / logging cadence
     ckpt_every: int = 500
+    ckpt_keep: int = 3             # step-numbered history depth (orbax GC)
     log_every: int = 50

@@ -94,9 +94,11 @@ def train_from_store(
             done += chunk_len
             logger.log(done, {**last, "steps_per_sec": chunk_len / dt})
             if ckpt_dir is not None and done % tc.ckpt_every < chunk_len:
-                save_checkpoint(ckpt_dir, state, gan, audio, tc)
+                save_checkpoint(ckpt_dir, state, gan, audio, tc,
+                                step=done, max_to_keep=tc.ckpt_keep)
         if ckpt_dir is not None:
-            save_checkpoint(ckpt_dir, state, gan, audio, tc)
+            save_checkpoint(ckpt_dir, state, gan, audio, tc,
+                            step=int(state.step), max_to_keep=tc.ckpt_keep)
     finally:
         logger.close()
     return state
@@ -155,10 +157,12 @@ def train(
                 logger.log(int(i + 1), {**metrics, **extra})
             if ckpt_dir is not None and (i + 1) % tc.ckpt_every == 0:
                 synchronize(metrics)
-                save_checkpoint(ckpt_dir, state, gan, audio, tc)
+                save_checkpoint(ckpt_dir, state, gan, audio, tc,
+                                step=i + 1, max_to_keep=tc.ckpt_keep)
         synchronize(metrics)
         if ckpt_dir is not None:
-            save_checkpoint(ckpt_dir, state, gan, audio, tc)
+            save_checkpoint(ckpt_dir, state, gan, audio, tc,
+                            step=int(state.step), max_to_keep=tc.ckpt_keep)
     finally:
         logger.close()
     return state

@@ -89,3 +89,32 @@ def test_bundle_restore_rebuilds_model(tmp_path):
     wave = np.random.default_rng(0).standard_normal(AUDIO.num_samples(0.5)).astype(np.float32)
     poses = model.generate(wave, seed=1)
     assert poses.shape == (AUDIO.num_frames(len(wave)), LAYOUT.n_joints, LAYOUT.joint_dim)
+
+
+def test_step_numbered_checkpoints_with_gc(tmp_path):
+    from music2dance_tpu.ckpt.orbax_io import checkpoint_steps
+
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(
+        jax.random.key(0), 4, 0.5, AUDIO, LAYOUT, through_frontend=False
+    )
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    step = jax.jit(make_train_step(GAN, tc))
+
+    path = str(tmp_path / "managed")
+    for i in range(5):
+        state, _ = step(state, batch)
+        save_checkpoint(path, state, GAN, AUDIO, tc, step=int(state.step), max_to_keep=3)
+
+    steps = checkpoint_steps(path)
+    assert steps == [3, 4, 5]  # oldest two garbage-collected
+
+    template = init_state(jax.random.key(9), GAN, tc, batch)
+    latest = restore_checkpoint(path, template)
+    assert int(latest.step) == 5
+    specific = restore_checkpoint(path, template, step=3)
+    assert int(specific.step) == 3
+
+    # restore_bundle picks up the managed latest too
+    gan2, audio2, state2 = restore_bundle(path)
+    assert int(state2.step) == 5
