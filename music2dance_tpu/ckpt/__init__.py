@@ -1,6 +1,7 @@
 """Checkpointing: orbax state I/O + PyTorch checkpoint converter."""
 
 from .orbax_io import (
+    checkpoint_steps,
     configs_from_json,
     configs_to_json,
     restore_bundle,
@@ -15,6 +16,7 @@ from .torch_convert import (
 )
 
 __all__ = [
+    "checkpoint_steps",
     "configs_from_json",
     "configs_to_json",
     "restore_bundle",
