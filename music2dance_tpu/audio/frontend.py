@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -111,6 +112,7 @@ def extract_features(y: jax.Array, cfg: AudioConfig = AudioConfig()) -> jax.Arra
     inference API ("same feature shapes" [BASELINE]).
     """
     yb, squeeze = _as_batched(y)
+    chex.assert_type(yb, float)
     if cfg.feature_type == "mfcc":
         feats = mfcc(yb, cfg)
     elif cfg.feature_type == "logmel":

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import chex
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -181,6 +182,13 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         return loss, {"g_loss": loss}
 
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        # trace-time contract checks (SURVEY.md §5 sanitizers row): shapes
+        # are validated once per compilation, free at run time
+        chex.assert_rank(batch["feats"], 3)
+        chex.assert_rank(batch["poses"], 3)
+        chex.assert_equal_shape_prefix([batch["feats"], batch["poses"]], 2)
+        chex.assert_axis_dimension(batch["poses"], 2, gan.generator.pose_dim)
+
         # All keys derive from replicated values (state.rng, state.step,
         # static phase tags); per-example decorrelation happens inside
         # per_example_keys via the global example index.
