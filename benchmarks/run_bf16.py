@@ -1,0 +1,38 @@
+"""Config #3 (full G/D, batch 32, 6 s) at f32 vs bf16 mixed precision.
+
+bf16 engages: bf16 XLA critic, bf16 hoisted generator path, and the fused
+Pallas generator kernels with bf16 MXU operands / f32 accumulators
+(ops/fused_generator.py compute_dtype). Run on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from benchmarks.harness import emit, time_scan_steps
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.models import full_gan
+from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+
+    audio = AudioConfig()
+    gan = full_gan(feature_dim=audio.n_features, dtype=args.dtype)
+    tc = TrainConfig(batch_size=32, clip_seconds=6.0, n_critic=1)
+
+    batch = jax.device_put(synthetic_batch(jax.random.key(0), 32, 6.0, audio))
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    sps, _ = time_scan_steps(make_train_step(gan, tc), state, batch, n_steps=args.steps)
+    emit("config3_dtype", dtype=args.dtype, train_steps_per_sec=round(sps, 2))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,15 @@ def main(argv):
 
     model = Music2DanceModel.from_checkpoint(FLAGS.ckpt)
 
+    sr_model = model.audio.sample_rate  # librosa.load(sr=...) semantics:
+    # any input rate is resampled to the model rate (audio/resample.py)
+
     if FLAGS.wav_dir:
         names = sorted(f for f in os.listdir(FLAGS.wav_dir) if f.endswith(".wav"))
-        waves = [load_wav(os.path.join(FLAGS.wav_dir, n))[0] for n in names]
+        waves = [
+            load_wav(os.path.join(FLAGS.wav_dir, n), target_sr=sr_model)[0]
+            for n in names
+        ]
         outs = model.generate_batch(waves, seed=FLAGS.seed)
         os.makedirs(FLAGS.out_dir, exist_ok=True)
         for n, poses in zip(names, outs):
@@ -42,11 +48,7 @@ def main(argv):
 
     if not FLAGS.wav:
         raise app.UsageError("pass --wav or --wav_dir")
-    wave, sr = load_wav(FLAGS.wav)
-    if sr != model.audio.sample_rate:
-        raise ValueError(
-            f"{FLAGS.wav}: sample rate {sr} != model rate {model.audio.sample_rate}"
-        )
+    wave, _sr = load_wav(FLAGS.wav, target_sr=sr_model)
     poses = model.generate(wave, seed=FLAGS.seed)
     np.save(FLAGS.out, poses)
     print(f"{FLAGS.wav} -> {FLAGS.out} poses {poses.shape}")

@@ -129,11 +129,18 @@ def jit_extract_features(cfg: AudioConfig, impl: str = "xla"):
     """A jitted [B, L] -> [B, T, F] extractor specialized to ``cfg``.
 
     impl: "xla" (frontend.py), "pallas" (pallas_frontend.py), or "auto"
-    (pallas when a TPU backend is active — both pass the same rtol 1e-4
-    oracle gate, see tests/test_audio_parity.py, tests/test_pallas_frontend.py).
+    (pallas when a TPU backend is active AND the config is inside the
+    kernel's envelope, else XLA — both pass the same rtol 1e-4 oracle
+    gate, see tests/test_audio_parity.py, tests/test_pallas_frontend.py).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from .pallas_frontend import supports_pallas
+
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and supports_pallas(cfg)
+            else "xla"
+        )
     if impl == "pallas":
         from .pallas_frontend import extract_features_pallas
 

@@ -49,6 +49,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def supports_pallas(cfg: AudioConfig) -> bool:
+    """Whether this config is inside the fused kernel's envelope.
+
+    Kernel constraints (each raises below if violated):
+    - n_fft <= 9*hop: the row-slab DMA peeks at most 8 rows past the
+      block, so a frame may span at most 9 hop-rows;
+    - power == 2.0: the kernel hardcodes ``re*re + im*im`` (a general
+      power would add a pow on the VPU hot path for a config nothing uses).
+    ``jit_extract_features(impl="auto")`` consults this and falls back to
+    the XLA frontend instead of raising (round-1 advisor finding).
+    """
+    return cfg.n_fft <= 9 * cfg.hop_length and cfg.power == 2.0
+
+
 @functools.lru_cache(maxsize=8)
 def _padded_constants(cfg: AudioConfig):
     """Constants in shift-decomposed form, lane-padded to 128 multiples.
@@ -145,6 +159,11 @@ def logmel_fused(
         raise ValueError(
             f"hop_length {hop} too small vs n_fft {n_fft} for the fused "
             "kernel (needs n_fft <= 9*hop); use the XLA frontend"
+        )
+    if cfg.power != 2.0:
+        raise ValueError(
+            f"fused kernel computes power=2.0 spectra only, got {cfg.power}; "
+            "use the XLA frontend"
         )
     if cfg.center:
         p = n_fft // 2

@@ -120,7 +120,9 @@ class GenStepTorch(nn.Module):
         gi0 = gi_static_t + self.ih0_pose(prev)
         state, h_top = self.core(state, gi0)
         out = self.head_out(torch.relu(self.head_fc(h_top)))
-        pose = prev_pose + out if cfg.residual_pose else out
+        # residual adds the SAME (zeroed when not autoregressive) prev the
+        # projection saw — matches flax GeneratorStep for every config combo
+        pose = prev + out if cfg.residual_pose else out
         return state, pose
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import queue
+import warnings
 import threading
 from typing import Iterator, Optional, Sequence
 
@@ -87,18 +88,25 @@ class NpzClipSource(grain.sources.RandomAccessDataSource):
 
 
 class WavPoseSource(grain.sources.RandomAccessDataSource):
-    """Paired song.wav / song.npy files (poses at the feature frame rate)."""
+    """Paired song.wav / song.npy files (poses at the feature frame rate).
 
-    def __init__(self, root: str):
+    ``target_sr``: resample every song to this rate on load (librosa.load
+    semantics — the reference corpus may mix 44.1 kHz and 22.05 kHz files).
+    """
+
+    def __init__(self, root: str, target_sr: Optional[int] = None):
         from .wav import load_wav  # native decoder with numpy fallback
 
         self._load_wav = load_wav
+        self._target_sr = target_sr
         wavs = sorted(f for f in os.listdir(root) if f.endswith(".wav"))
         self._pairs = []
         for w in wavs:
             p = os.path.join(root, w[:-4] + ".npy")
             if os.path.exists(p):
                 self._pairs.append((os.path.join(root, w), p))
+            else:
+                warnings.warn(f"{w}: no paired pose file {p}, skipping")
         if not self._pairs:
             raise FileNotFoundError(f"no paired .wav/.npy clips under {root}")
 
@@ -107,7 +115,7 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
 
     def __getitem__(self, idx: int) -> dict:
         wav_path, pose_path = self._pairs[idx]
-        wave, _sr = self._load_wav(wav_path)
+        wave, _sr = self._load_wav(wav_path, target_sr=self._target_sr)
         pose = np.load(pose_path).astype(np.float32)
         return {"wave": wave, "pose": pose.reshape(pose.shape[0], -1)}
 

@@ -90,8 +90,16 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
+            code = int.from_bytes(body[0:2], "little")
+            if code == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real code is the first two
+                # bytes of the SubFormat GUID (fmt extension offset 24);
+                # without a readable extension it stays 0xFFFE -> rejected.
+                cb = int.from_bytes(body[16:18], "little") if len(body) >= 18 else 0
+                if cb >= 22 and len(body) >= 26:
+                    code = int.from_bytes(body[24:26], "little")
             fmt = {
-                "format": int.from_bytes(body[0:2], "little"),
+                "format": code,
                 "channels": int.from_bytes(body[2:4], "little"),
                 "sr": int.from_bytes(body[4:8], "little"),
                 "bits": int.from_bytes(body[14:16], "little"),
@@ -102,11 +110,11 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
             ch, bits = fmt["channels"], fmt["bits"]
             if fmt["format"] == 3 and bits == 32:
                 x = np.frombuffer(body, "<f4").astype(np.float32)
-            elif fmt["format"] in (1, 0xFFFE) and bits == 16:
+            elif fmt["format"] == 1 and bits == 16:
                 x = np.frombuffer(body, "<i2").astype(np.float32) / 32768.0
-            elif fmt["format"] in (1, 0xFFFE) and bits == 32:
+            elif fmt["format"] == 1 and bits == 32:
                 x = np.frombuffer(body, "<i4").astype(np.float32) / 2147483648.0
-            elif fmt["format"] in (1, 0xFFFE) and bits == 24:
+            elif fmt["format"] == 1 and bits == 24:
                 raw = np.frombuffer(body, np.uint8).reshape(-1, 3)
                 x = (
                     raw[:, 0].astype(np.int32)
@@ -123,11 +131,22 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
     raise ValueError(f"no data chunk in {path!r}")
 
 
-def load_wav(path: str) -> tuple[np.ndarray, int]:
-    """Decode a WAV file to (mono float32 samples, sample_rate)."""
+def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
+    """Decode a WAV file to (mono float32 samples, sample_rate).
+
+    ``target_sr``: resample to this rate when the file's native rate
+    differs (librosa.load(path, sr=...) semantics — SURVEY.md §3.1); the
+    kaiser-sinc polyphase resampler lives in audio/resample.py.
+    """
     if ensure_native() is not None:
-        return load_wav_native(path)
-    return load_wav_numpy(path)
+        y, sr = load_wav_native(path)
+    else:
+        y, sr = load_wav_numpy(path)
+    if target_sr is not None and sr != target_sr:
+        from ..audio.resample import resample
+
+        y, sr = resample(y, sr, target_sr), target_sr
+    return y, sr
 
 
 def save_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:

@@ -96,9 +96,18 @@ def tiny_gan(feature_dim: int = 20, layout: JointLayout = JointLayout()) -> GANC
     )
 
 
-def full_gan(feature_dim: int = 20, layout: JointLayout = JointLayout()) -> GANConfig:
-    """BASELINE config #3: the full G/D architecture."""
+def full_gan(
+    feature_dim: int = 20,
+    layout: JointLayout = JointLayout(),
+    dtype: str = "float32",
+) -> GANConfig:
+    """BASELINE config #3: the full G/D architecture.
+
+    ``dtype="bfloat16"`` selects mixed precision: bf16 compute in G and D
+    (single-pass MXU matmuls, fused kernel included), f32 params, losses,
+    poses and optimizer states.
+    """
     return GANConfig(
-        generator=GeneratorConfig(layout=layout, feature_dim=feature_dim),
-        discriminator=DiscriminatorConfig(layout=layout, feature_dim=feature_dim),
+        generator=GeneratorConfig(layout=layout, feature_dim=feature_dim, dtype=dtype),
+        discriminator=DiscriminatorConfig(layout=layout, feature_dim=feature_dim, dtype=dtype),
     )

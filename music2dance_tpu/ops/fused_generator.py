@@ -45,11 +45,38 @@ def _round_up(x: int, m: int) -> int:
 def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
     if cfg.cell != "gru" or not cfg.autoregressive:
         return False
-    if cfg.dtype != "float32":  # kernel computes in f32; keep paths consistent
+    if cfg.dtype not in ("float32", "bfloat16"):
         return False
     if not interpret and (cfg.hidden_dim % 128 != 0):
         return False
     return True
+
+
+def compute_dtype(cfg: GeneratorConfig):
+    """Matmul operand dtype. bfloat16 configs run mixed precision inside
+    the kernels: bf16 MXU operands (one systolic pass instead of three,
+    half the VMEM/DMA traffic for weights and gi_static), float32
+    accumulators, gates, carries and poses. The pose head output matmul
+    stays float32 end-to-end (it feeds losses and the AR integration —
+    mirrors models/generator.py head_out dtype="float32")."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+# weights whose matmul operands stay f32 even in bf16 configs
+_F32_WEIGHTS = ("head_out.kernel",)
+
+
+def cast_weights(weights: tuple, cfg: GeneratorConfig) -> tuple:
+    """Kernel-ready weights: matmul kernels in compute dtype, biases (and
+    head_out) in f32. Identity for float32 configs."""
+    cdt = compute_dtype(cfg)
+    names = weight_names(cfg)
+    return tuple(
+        w.astype(cdt)
+        if (w.ndim > 1 and n.endswith(".kernel") and n not in _F32_WEIGHTS)
+        else w.astype(jnp.float32)
+        for n, w in zip(names, weights)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +124,7 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
     h_scr, prev_scr = refs[8 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    cdt = compute_dtype(cfg)
     i = pl.program_id(0)
 
     weights = {n: r for n, r in zip(weight_names(cfg), w_refs)}
@@ -109,21 +137,21 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
     def step(t, _):
         @pl.when(i * tb + t < t_total)
         def _():
-            gi_s = gi_ref[t]          # [B, 3H]
-            prev = prev_scr[...]      # [B, P]
+            gi_s = gi_ref[t]          # [B, 3H] compute dtype
+            prev = prev_scr[...]      # [B, P] f32 carry
             pprev_ref[t] = prev
             for l in range(layers):
                 hprev_ref[t, l] = h_scr[l]
 
-            x = gi_s + jnp.dot(
-                prev, weights["ih0_pose.kernel"][...],
+            x = gi_s.astype(jnp.float32) + jnp.dot(
+                prev.astype(cdt), weights["ih0_pose.kernel"][...],
                 preferred_element_type=jnp.float32,
             )
             h_new = None
             for l in range(layers):
                 h = h_scr[l]
                 gh = jnp.dot(
-                    h, weights[f"core.cell_l{l}.hh.kernel"][...],
+                    h.astype(cdt), weights[f"core.cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"core.cell_l{l}.hh.bias"][...]
                 r, z, n = _gru_gates(x, gh, hidden)
@@ -131,12 +159,12 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
                 h_scr[l] = h_new
                 if l + 1 < layers:
                     x = jnp.dot(
-                        h_new, weights[f"core.ih_l{l + 1}.kernel"][...],
+                        h_new.astype(cdt), weights[f"core.ih_l{l + 1}.kernel"][...],
                         preferred_element_type=jnp.float32,
                     ) + weights[f"core.ih_l{l + 1}.bias"][...]
 
             y = jax.nn.relu(
-                jnp.dot(h_new, weights["head_fc.kernel"][...],
+                jnp.dot(h_new.astype(cdt), weights["head_fc.kernel"][...],
                         preferred_element_type=jnp.float32)
                 + weights["head_fc.bias"][...]
             )
@@ -179,13 +207,15 @@ def fused_generator_forward(
     assert gh3 == 3 * hidden
 
     t_pad = _round_up(t, tb)
-    gi_tm = jnp.swapaxes(gi_static, 0, 1)  # [T, B, 3H]
+    gi_tm = jnp.swapaxes(gi_static, 0, 1).astype(compute_dtype(cfg))  # [T, B, 3H]
     if t_pad != t:
         gi_tm = jnp.pad(gi_tm, ((0, t_pad - t), (0, 0), (0, 0)))
     n_blocks = t_pad // tb
 
-    # biases as [1, D] rows (TPU wants >= 2D)
-    weights = tuple(w if w.ndim > 1 else w[None, :] for w in weights)
+    # biases as [1, D] rows (TPU wants >= 2D); kernels in compute dtype
+    weights = cast_weights(
+        tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
+    )
     names = weight_names(cfg)
     n_weights = len(names)
 
@@ -237,20 +267,24 @@ def fused_generator_forward(
 
 def compute_gi_static(params: Any, cfg: GeneratorConfig, feats: jax.Array, z: jax.Array):
     """Replicates Generator's hoisted path (encoder + ih0_static) from the
-    param tree with raw lax ops — the fused kernel consumes its output."""
-    x = feats
+    param tree with raw lax ops — the fused kernel consumes its output.
+    Mirrors flax module dtype semantics: inputs and kernels cast to the
+    compute dtype (bf16 for bfloat16 configs), so the hoisted matmuls ride
+    single-pass MXU and gi_static DMAs at half width."""
+    cdt = compute_dtype(cfg)
+    x = feats.astype(cdt)
     for l in range(cfg.enc_layers):
         leaf = params["encoder"][f"conv_{l}"]
         x = jax.lax.conv_general_dilated(
-            x, leaf["kernel"], (1,), "SAME",
+            x, leaf["kernel"].astype(cdt), (1,), "SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
-        ) + leaf["bias"]
+        ) + leaf["bias"].astype(cdt)
         x = jax.nn.relu(x)
     b, t = feats.shape[:2]
-    z_seq = jnp.broadcast_to(z[:, None, :], (b, t, cfg.noise_dim))
+    z_seq = jnp.broadcast_to(z[:, None, :], (b, t, cfg.noise_dim)).astype(cdt)
     static_in = jnp.concatenate([x, z_seq], axis=-1)
     leaf = params["ih0_static"]
-    return jnp.matmul(static_in, leaf["kernel"]) + leaf["bias"]
+    return jnp.matmul(static_in, leaf["kernel"].astype(cdt)) + leaf["bias"].astype(cdt)
 
 
 def fused_apply(

@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.configs import GeneratorConfig
 from .fused_generator import (
     _round_up,
+    cast_weights,
+    compute_dtype,
     fused_generator_forward,
     supports_fused,
     weight_names,
@@ -104,9 +106,13 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
             return w_ref_map[name][...]
 
     weights = _LazyWeights()
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # operands ride the weight's dtype (bf16 kernels in bfloat16 configs —
+    # one MXU pass); accumulation is always f32, and the dh/dprev chains
+    # live in f32 scratch
+    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
     dot_t = lambda a, b: jax.lax.dot_general(  # a @ b.T
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     i = pl.program_id(0)
@@ -123,7 +129,9 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
 
         @pl.when((n_blocks - 1 - i) * tb + t < t_total)
         def _():
-            gi0 = gi_ref[t] + dot(pprev_ref[t], weights["ih0_pose.kernel"])
+            gi0 = gi_ref[t].astype(jnp.float32) + dot(
+                pprev_ref[t], weights["ih0_pose.kernel"]
+            )
             hprev_layers = [hprev_ref[t, l] for l in range(layers)]
             acts, y_pre, y, h_top = _recompute_step(gi0, hprev_layers, weights, cfg, dot)
 
@@ -216,12 +224,17 @@ def _chain_backward(
 # ---------------------------------------------------------------------------
 
 def _weight_grads(dh_in, dpose, gi_tm, pprev, hprev, weights_dict, cfg):
-    """All remaining gradients as [T*B]-panel matmuls."""
+    """All remaining gradients as [T*B]-panel matmuls.
+
+    ``weights_dict`` values carry their matmul dtype (bf16 kernels for
+    bfloat16 configs — see fused_generator.cast_weights); every panel
+    matmul casts its operands to that dtype and accumulates in f32, the
+    same mixed-precision contract as the kernels."""
     t, _, b, hidden = dh_in.shape
     layers = cfg.rnn_layers
-    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+    dot = lambda a, c: jnp.dot(a.astype(c.dtype), c, preferred_element_type=jnp.float32)
 
-    gi0 = gi_tm + dot(pprev, weights_dict["ih0_pose.kernel"])
+    gi0 = gi_tm.astype(jnp.float32) + dot(pprev, weights_dict["ih0_pose.kernel"])
     hprev_layers = [hprev[:, l] for l in range(layers)]
     acts, y_pre, y, h_top = _recompute_step(
         gi0, hprev_layers, weights_dict, cfg, dot
@@ -230,26 +243,37 @@ def _weight_grads(dh_in, dpose, gi_tm, pprev, hprev, weights_dict, cfg):
     def panel(x):  # [T, B, D] -> [T*B, D]
         return x.reshape(-1, x.shape[-1])
 
+    def grad_mm(a, b, like):  # a^T @ b in the dtype of weight ``like``
+        return jax.lax.dot_general(
+            panel(a).astype(like.dtype), panel(b).astype(like.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    wd = weights_dict
     grads = {}
     dout = dpose
-    grads["head_out.kernel"] = panel(y).T @ panel(dout)
+    grads["head_out.kernel"] = grad_mm(y, dout, wd["head_out.kernel"])
     grads["head_out.bias"] = jnp.sum(panel(dout), axis=0)
-    dy = (dout @ weights_dict["head_out.kernel"].T) * (y_pre > 0.0)
-    grads["head_fc.kernel"] = panel(h_top).T @ panel(dy)
+    dy = (dout @ wd["head_out.kernel"].astype(jnp.float32).T) * (y_pre > 0.0)
+    grads["head_fc.kernel"] = grad_mm(h_top, dy, wd["head_fc.kernel"])
     grads["head_fc.bias"] = jnp.sum(panel(dy), axis=0)
 
     dgi0 = None
     for l in range(layers - 1, -1, -1):
         a = dh_in[:, l]
         dgi, dgh, _ = _gate_cotangents(a, acts[l])
-        grads[f"core.cell_l{l}.hh.kernel"] = panel(acts[l]["h"]).T @ panel(dgh)
+        grads[f"core.cell_l{l}.hh.kernel"] = grad_mm(
+            acts[l]["h"], dgh, wd[f"core.cell_l{l}.hh.kernel"]
+        )
         grads[f"core.cell_l{l}.hh.bias"] = jnp.sum(panel(dgh), axis=0)
         if l > 0:
-            grads[f"core.ih_l{l}.kernel"] = panel(acts[l - 1]["h_new"]).T @ panel(dgi)
+            grads[f"core.ih_l{l}.kernel"] = grad_mm(
+                acts[l - 1]["h_new"], dgi, wd[f"core.ih_l{l}.kernel"]
+            )
             grads[f"core.ih_l{l}.bias"] = jnp.sum(panel(dgi), axis=0)
         else:
             dgi0 = dgi
-    grads["ih0_pose.kernel"] = panel(pprev).T @ panel(dgi0)
+    grads["ih0_pose.kernel"] = grad_mm(pprev, dgi0, wd["ih0_pose.kernel"])
     dgi_static = dgi0  # gi0 = gi_static + proj -> same cotangent
     return grads, dgi_static
 
@@ -286,9 +310,11 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
         b, t, _ = gi_static.shape
         t_pad = _round_up(t, tb)
 
-        weights2d = tuple(w if w.ndim > 1 else w[None, :] for w in weights)
+        weights2d = cast_weights(
+            tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
+        )
         names = weight_names(cfg)
-        wd = {n: (w if w.ndim > 1 else w) for n, w in zip(names, weights)}
+        wd = dict(zip(names, cast_weights(weights, cfg)))
 
         def pad_tm(x):
             return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
@@ -306,9 +332,10 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
             dh_in, dpose, gi_tm[:t], pprev, hprev, wd, cfg
         )
         dweights = tuple(
-            grads[n].reshape(w.shape) for n, w in zip(names, weights)
+            grads[n].reshape(w.shape).astype(w.dtype) for n, w in zip(names, weights)
         )
-        dgi_static = jnp.swapaxes(dgi_static_tm, 0, 1)
+        # cotangent dtype must match the primal (bf16 gi_static in bf16 configs)
+        dgi_static = jnp.swapaxes(dgi_static_tm, 0, 1).astype(gi_static.dtype)
         return dgi_static, dh0, dprev0, dweights
 
     scan_fn.defvjp(fwd, bwd)

@@ -73,10 +73,24 @@ bool parse_header(Reader& r, WavInfo* info) {
       r.u32();  // byte rate
       r.u16();  // block align
       info->bits = r.u16();
-      if (size > 16) r.skip((long)size - 16);
-      // WAVE_FORMAT_EXTENSIBLE (0xFFFE) carries the real format in the
-      // extension; PCM/float subformats still decode below by bit width.
-      if (info->format == 0xFFFE) info->format = (info->bits == 32) ? 1 : 1;
+      uint32_t consumed = 16;
+      if (info->format == 0xFFFE && size >= consumed + 2) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes (little-endian) of the SubFormat GUID in the extension
+        // (cbSize u16, valid-bits u16, channel-mask u32, GUID[16]).
+        uint16_t cb = r.u16();
+        consumed += 2;
+        if (cb >= 22 && size >= consumed + 8) {
+          r.u16();  // valid bits per sample
+          r.u32();  // channel mask
+          info->format = r.u16();
+          consumed += 8;
+        }
+        // an extensible header without a readable SubFormat stays 0xFFFE
+        // and is rejected as unsupported by the caller
+      }
+      if (size > consumed) r.skip((long)(size - consumed));
+      if (size & 1) r.skip(1);  // chunks are word-aligned
       have_fmt = true;
     } else if (memcmp(tag, "data", 4) == 0) {
       info->data_offset = ftell(r.f);

@@ -64,3 +64,31 @@ def test_default_config_shapes(rng):
     ref = oracle.oracle_features(y, cfg)
     ours = extract_features_pallas(jnp.asarray(y), cfg)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_supports_pallas_envelope():
+    from music2dance_tpu.audio.pallas_frontend import supports_pallas
+
+    assert supports_pallas(AudioConfig())
+    # hostile configs: outside the kernel envelope -> must report False
+    assert not supports_pallas(AudioConfig(n_fft=2048, hop_length=128))  # k > 9
+    assert not supports_pallas(AudioConfig(power=1.0))
+
+
+def test_hostile_config_raises_in_pallas_and_auto_falls_back(rng):
+    """impl='auto' must never select a config the kernel rejects
+    (round-1 advisor finding + VERDICT weak #5)."""
+    from music2dance_tpu.audio.frontend import jit_extract_features
+
+    hostile = AudioConfig(n_fft=2048, win_length=2048, hop_length=128,
+                          n_mels=40, n_mfcc=13)
+    y = jnp.asarray(make_wave(rng, 0.3, hostile))[None]
+    with np.testing.assert_raises(ValueError):
+        extract_features_pallas(y, hostile, tb=16)
+    feats = jit_extract_features(hostile, impl="auto")(y)  # must not raise
+    ref = extract_features(y, hostile)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    p1 = AudioConfig(power=1.0)
+    with np.testing.assert_raises(ValueError):
+        extract_features_pallas(jnp.asarray(make_wave(rng, 0.3, p1))[None], p1, tb=16)

@@ -143,3 +143,30 @@ def test_missing_and_extra_keys_rejected():
     sd["bogus.weight"] = torch.zeros(1)
     with pytest.raises(ValueError):
         torch_state_dict_to_flax(sd, template)
+
+
+@pytest.mark.parametrize("autoregressive,residual", [(False, True), (False, False), (True, False)])
+def test_generator_equivalence_nondefault_combos(autoregressive, residual):
+    """autoregressive=False + residual_pose=True diverged in round 1: the
+    torch mirror added the raw prev pose while flax adds the zeroed one
+    (advisor finding, torch_ref.py GenStepTorch)."""
+    gan = make_gan("gru")
+    cfg = GeneratorConfig(
+        **{**{f.name: getattr(gan.generator, f.name)
+              for f in __import__("dataclasses").fields(GeneratorConfig)},
+           "autoregressive": autoregressive, "residual_pose": residual},
+    )
+    gen = Generator(cfg)
+    feats = jax.random.normal(jax.random.key(0), (B, T, F))
+    z = jax.random.normal(jax.random.key(1), (B, cfg.noise_dim))
+    params = gen.init(jax.random.key(2), feats, z)
+
+    tg, _ = build_torch_models(GANConfig(generator=cfg, discriminator=gan.discriminator))
+    tg.load_state_dict(flax_to_torch_state_dict(params["params"]), strict=True)
+
+    ours = np.asarray(gen.apply(params, feats, z))
+    with torch.no_grad():
+        theirs = tg(
+            torch.from_numpy(np.asarray(feats)), torch.from_numpy(np.asarray(z))
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

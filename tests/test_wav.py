@@ -75,6 +75,56 @@ def test_native_matches_numpy(tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def write_extensible_wav(path, y, sr, subformat):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) writer: 40-byte fmt chunk whose
+    SubFormat GUID carries the real code (1 = PCM16, 3 = float32)."""
+    if subformat == 3:
+        data = y.astype("<f4").tobytes()
+        bits = 32
+    else:
+        data = (np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+        bits = 16
+    guid = subformat.to_bytes(2, "little") + bytes.fromhex(
+        "0000000000100080 00aa00389b71".replace(" ", "")
+    )
+    fmt = (
+        (0xFFFE).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")                    # channels
+        + sr.to_bytes(4, "little")
+        + (sr * bits // 8).to_bytes(4, "little")       # byte rate
+        + (bits // 8).to_bytes(2, "little")            # block align
+        + bits.to_bytes(2, "little")
+        + (22).to_bytes(2, "little")                   # cbSize
+        + bits.to_bytes(2, "little")                   # valid bits
+        + (4).to_bytes(4, "little")                    # channel mask
+        + guid
+    )
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + len(body).to_bytes(4, "little") + body)
+
+
+@pytest.mark.parametrize("subformat", [1, 3])
+def test_extensible_wav(tmp_path, subformat):
+    """0xFFFE files must decode by their SubFormat GUID code — an
+    extensible float32 file decoded as int32 PCM yields ~1e-9 garbage
+    (round-1 advisor finding, native/m2d_wav.cc + data/wav.py)."""
+    sr, y = 8000, make_tone()
+    path = str(tmp_path / f"ext{subformat}.wav")
+    write_extensible_wav(path, y, sr, subformat)
+    atol = 0.0 if subformat == 3 else 1.5 / 32768
+    out, sr2 = load_wav_numpy(path)
+    assert sr2 == sr
+    np.testing.assert_allclose(out, y, atol=atol + 1e-7)
+    if ensure_native() is not None:
+        from music2dance_tpu.data.wav import load_wav_native
+
+        out_n, sr_n = load_wav_native(path)
+        assert sr_n == sr
+        np.testing.assert_array_equal(out_n, out)
+
+
 def test_bad_file_rejected(tmp_path):
     path = str(tmp_path / "junk.wav")
     with open(path, "wb") as f:
