@@ -1,0 +1,505 @@
+"""Fused Pallas kernels for the critic's recurrent core (first order).
+
+Round-2 phase profiling (benchmarks/run_phases.py) put the critic update
+at 11.1 ms of the ~14 ms full-preset train step — ~4 sequential XLA scan
+passes (forward, GP pullback, and the backward of both), each
+latency-bound at ~8-15 us/timestep of loop machinery. This module fuses
+the critic scan the same way ops/fused_generator.py fuses the generator:
+
+- K1 ``critic_scan_forward``: the whole multilayer GRU time scan as one
+  Pallas grid, weights VMEM-resident, emitting the per-step top hidden
+  state (the score head stays in XLA — one [T*B, H] @ [H, 1] matmul).
+- K2 ``critic_cotangent_chain``: the reverse cotangent scan. It carries
+  only the truly sequential dh chains and emits the per-(step, layer)
+  *incoming* hidden cotangents ``a_in``; every other backward quantity is
+  local to its timestep and is recomputed in batched XLA over [T*B]
+  panels (``critic_panel_grads``) — the same two-phase split as
+  ops/fused_generator_vjp.py.
+
+``make_fused_critic_scan`` wraps K1+K2 in a first-order ``custom_vjp``
+(htop, h_fin as outputs; cotangents on both supported, so TBPTT carries
+work). ``fused_critic_apply`` is the drop-in for ``Discriminator.apply``
+(recurrent configs): XLA hoisted conv stack + ih0, fused scan, XLA score
+head. The second-order path needed by WGAN-GP lives in ops/fused_gp.py
+on top of the kernels here.
+
+bfloat16 configs follow the fused-generator mixed-precision contract:
+bf16 MXU operands, f32 accumulators/chains (see fused_generator.compute_dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.configs import DiscriminatorConfig
+from .fused_generator import _round_up
+from .fused_generator_vjp import _gate_cotangents
+
+
+def supports_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> bool:
+    if cfg.cell != "gru" or cfg.rnn_layers < 1:
+        return False
+    if cfg.dtype not in ("float32", "bfloat16"):
+        return False
+    if not interpret and (cfg.hidden_dim % 128 != 0):
+        return False
+    return True
+
+
+def critic_compute_dtype(cfg: DiscriminatorConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Weight plumbing: the scan core's weights in a fixed flat order
+# ---------------------------------------------------------------------------
+
+def critic_weight_names(cfg: DiscriminatorConfig) -> list[str]:
+    names = []
+    for l in range(cfg.rnn_layers):
+        names += [f"cell_l{l}.hh.kernel", f"cell_l{l}.hh.bias"]
+        if l > 0:
+            names += [f"ih_l{l}.kernel", f"ih_l{l}.bias"]
+    return names
+
+
+def extract_critic_weights(core_params: Any, cfg: DiscriminatorConfig) -> tuple:
+    """params['step']['core'] subtree -> flat tuple (critic_weight_names order)."""
+
+    def get(path: str):
+        node = core_params
+        for part in path.split("."):
+            node = node[part]
+        return node
+
+    return tuple(get(n) for n in critic_weight_names(cfg))
+
+
+def cast_critic_weights(weights: tuple, cfg: DiscriminatorConfig) -> tuple:
+    """Kernel-ready: matmul kernels in compute dtype, biases f32, biases
+    as [1, D] rows (TPU wants >= 2D)."""
+    cdt = critic_compute_dtype(cfg)
+    names = critic_weight_names(cfg)
+    out = []
+    for n, w in zip(names, weights):
+        w2 = w if w.ndim > 1 else w[None, :]
+        out.append(w2.astype(cdt) if n.endswith(".kernel") else w2.astype(jnp.float32))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Shared recompute: forward gates of one step (kernel and XLA phase-2)
+# ---------------------------------------------------------------------------
+
+def _gru_gates(x, gh, hidden):
+    i_r, i_z, i_n = x[..., :hidden], x[..., hidden:2 * hidden], x[..., 2 * hidden:]
+    h_r, h_z, h_n = gh[..., :hidden], gh[..., hidden:2 * hidden], gh[..., 2 * hidden:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return r, z, n, h_n
+
+
+def _recompute_core(gi0, hprev_layers, weights, cfg, dot):
+    """Forward recompute for one step (panel shapes [..., H] work too).
+
+    Returns per-layer dicts {h, x, hn, r, z, n, h_new} (the fields
+    _gate_cotangents expects)."""
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    acts = []
+    x = gi0
+    for l in range(cfg.rnn_layers):
+        h = hprev_layers[l]
+        gh = dot(h, weights[f"cell_l{l}.hh.kernel"]) + weights[f"cell_l{l}.hh.bias"]
+        r, z, n, hn = _gru_gates(x, gh, hidden)
+        h_new = (1.0 - z) * n + z * h
+        acts.append({"h": h, "x": x, "hn": hn, "r": r, "z": z, "n": n, "h_new": h_new})
+        if l + 1 < layers:
+            x = dot(h_new, weights[f"ih_l{l + 1}.kernel"]) + weights[f"ih_l{l + 1}.bias"]
+    return acts
+
+
+# ---------------------------------------------------------------------------
+# K1: forward scan kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weights: int):
+    (gi_ref, h0_ref), w_refs = refs[:2], refs[2 : 2 + n_weights]
+    htop_ref, hprev_ref, hfin_ref = refs[2 + n_weights : 5 + n_weights]
+    (h_scr,) = refs[5 + n_weights :]
+
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    cdt = critic_compute_dtype(cfg)
+    i = pl.program_id(0)
+    weights = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[...] = h0_ref[...]
+
+    def step(t, _):
+        @pl.when(i * tb + t < t_total)
+        def _():
+            x = gi_ref[t].astype(jnp.float32)
+            h_new = None
+            for l in range(layers):
+                h = h_scr[l]
+                hprev_ref[t, l] = h
+                gh = jnp.dot(
+                    h.astype(cdt), weights[f"cell_l{l}.hh.kernel"][...],
+                    preferred_element_type=jnp.float32,
+                ) + weights[f"cell_l{l}.hh.bias"][...]
+                r, z, n, _hn = _gru_gates(x, gh, hidden)
+                h_new = (1.0 - z) * n + z * h
+                h_scr[l] = h_new
+                if l + 1 < layers:
+                    x = jnp.dot(
+                        h_new.astype(cdt), weights[f"ih_l{l + 1}.kernel"][...],
+                        preferred_element_type=jnp.float32,
+                    ) + weights[f"ih_l{l + 1}.bias"][...]
+            htop_ref[t] = h_new
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        hfin_ref[...] = h_scr[...]
+
+
+def critic_scan_forward(
+    gi_tm: jax.Array,   # [T, B, 3H] time-major hoisted input projection
+    h0: jax.Array,      # [L, B, H]
+    weights: tuple,     # extract_critic_weights order (uncast)
+    cfg: DiscriminatorConfig,
+    tb: int = 8,
+    interpret: bool | None = None,
+):
+    """Returns (htop [T,B,H], hprev [T,L,B,H], h_fin [L,B,H]), all f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, gh3 = gi_tm.shape
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    assert gh3 == 3 * hidden
+
+    t_pad = _round_up(t, tb)
+    gi_p = jnp.pad(gi_tm.astype(critic_compute_dtype(cfg)),
+                   ((0, t_pad - t), (0, 0), (0, 0)))
+    n_blocks = t_pad // tb
+    w = cast_critic_weights(weights, cfg)
+
+    kern = functools.partial(
+        _fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    htop, hprev, hfin = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tb, b, 3 * hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+        ] + [const(x.shape) for x in w],
+        out_specs=[
+            pl.BlockSpec((tb, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(gi_p, h0, *w)
+    return htop[:t], hprev[:t], hfin
+
+
+# ---------------------------------------------------------------------------
+# K2: reverse cotangent-chain kernel
+# ---------------------------------------------------------------------------
+
+def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weights: int):
+    (gcot_ref, gi_ref, hprev_ref, ghfin_ref) = refs[:4]
+    w_refs = refs[4 : 4 + n_weights]
+    ain_ref, dh0_ref = refs[4 + n_weights : 6 + n_weights]
+    (dh_scr,) = refs[6 + n_weights :]
+
+    layers = cfg.rnn_layers
+    weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
+
+    class _Lazy:  # load at use site; materializing all weights spills VMEM
+        def __getitem__(self, name):
+            return weights_map[name][...]
+
+    weights = _Lazy()
+    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
+    dot_t = lambda a, b: jax.lax.dot_general(
+        a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[...] = ghfin_ref[...]
+
+    def step(tt, _):
+        t = tb - 1 - tt
+
+        @pl.when((n_blocks - 1 - i) * tb + t < t_total)
+        def _():
+            gi0 = gi_ref[t].astype(jnp.float32)
+            hprev_layers = [hprev_ref[t, l] for l in range(layers)]
+            acts = _recompute_core(gi0, hprev_layers, weights, cfg, dot)
+
+            dabove = gcot_ref[t]
+            for l in range(layers - 1, -1, -1):
+                a = dh_scr[l] + dabove
+                ain_ref[t, l] = a
+                dgi, dgh, dh_part = _gate_cotangents(a, acts[l])
+                dh_scr[l] = dh_part + dot_t(dgh, weights[f"cell_l{l}.hh.kernel"])
+                if l > 0:
+                    dabove = dot_t(dgi, weights[f"ih_l{l}.kernel"])
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        dh0_ref[...] = dh_scr[...]
+
+
+def critic_cotangent_chain(
+    gcot_tm: jax.Array,  # [T, B, H] cotangent on htop (f32)
+    g_hfin: jax.Array,   # [L, B, H] cotangent on the final carry
+    gi_tm: jax.Array,    # [T, B, 3H] saved forward input
+    hprev: jax.Array,    # [T, L, B, H] saved pre-step hidden states
+    weights: tuple,      # uncast
+    cfg: DiscriminatorConfig,
+    tb: int = 8,
+    interpret: bool | None = None,
+):
+    """Returns (a_in [T,L,B,H], dh0 [L,B,H]): incoming hidden cotangents
+    per (step, layer) and the h0 cotangent."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, _ = gi_tm.shape
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    t_pad = _round_up(t, tb)
+    n_blocks = t_pad // tb
+    w = cast_critic_weights(weights, cfg)
+
+    def pad_tm(x):
+        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
+
+    kern = functools.partial(
+        _cot_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    rev = lambda tail: (lambda i: (n_blocks - 1 - i,) + tail)
+    a_in, dh0 = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tb, b, hidden), rev((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+        ] + [const(x.shape) for x in w],
+        out_specs=[
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            const((layers, b, hidden)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(pad_tm(gcot_tm), pad_tm(gi_tm.astype(critic_compute_dtype(cfg))),
+      pad_tm(hprev), g_hfin, *w)
+    return a_in[:t], dh0
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 (XLA): batched weight gradients + input cotangents from a_in
+# ---------------------------------------------------------------------------
+
+def _wdict(weights: tuple, cfg: DiscriminatorConfig) -> dict:
+    """Name -> dtype-cast weight (matmul dtype carried by the value)."""
+    cdt = critic_compute_dtype(cfg)
+    return {
+        n: (w.astype(cdt) if n.endswith(".kernel") else w.astype(jnp.float32))
+        for n, w in zip(critic_weight_names(cfg), weights)
+    }
+
+
+def _dot_cast(a, c):
+    return jnp.dot(a.astype(c.dtype), c, preferred_element_type=jnp.float32)
+
+
+def critic_panel_grads(a_in, gi_tm, hprev, weights, cfg):
+    """All weight grads + the gi cotangent as [T*B]-panel matmuls.
+
+    a_in [T,L,B,H], gi_tm [T,B,3H], hprev [T,L,B,H]; weights uncast.
+    Returns (grads dict keyed by critic_weight_names, dgi [T,B,3H] f32).
+    """
+    layers = cfg.rnn_layers
+    wd = _wdict(weights, cfg)
+    acts = _recompute_core(
+        gi_tm.astype(jnp.float32), [hprev[:, l] for l in range(layers)],
+        wd, cfg, _dot_cast,
+    )
+
+    def panel(x):
+        return x.reshape(-1, x.shape[-1])
+
+    def grad_mm(a, b, like):
+        return jax.lax.dot_general(
+            panel(a).astype(like.dtype), panel(b).astype(like.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    grads = {}
+    dgi0 = None
+    for l in range(layers - 1, -1, -1):
+        a = a_in[:, l]
+        dgi, dgh, _ = _gate_cotangents(a, acts[l])
+        grads[f"cell_l{l}.hh.kernel"] = grad_mm(
+            acts[l]["h"], dgh, wd[f"cell_l{l}.hh.kernel"]
+        )
+        grads[f"cell_l{l}.hh.bias"] = jnp.sum(panel(dgh), axis=0)
+        if l > 0:
+            grads[f"ih_l{l}.kernel"] = grad_mm(
+                acts[l - 1]["h_new"], dgi, wd[f"ih_l{l}.kernel"]
+            )
+            grads[f"ih_l{l}.bias"] = jnp.sum(panel(dgi), axis=0)
+        else:
+            dgi0 = dgi
+    return grads, dgi0
+
+
+def input_grad_from_chain(a_in, gi_tm, hprev, weights, cfg):
+    """Just the gi cotangent: layer-0 dgi, locally recomputed from a_in
+    (a_in already contains the cross-layer and cross-step chaining)."""
+    wd = _wdict(weights, cfg)
+    acts = _recompute_core(
+        gi_tm.astype(jnp.float32), [hprev[:, l] for l in range(cfg.rnn_layers)],
+        wd, cfg, _dot_cast,
+    )
+    dgi0, _dgh, _ = _gate_cotangents(a_in[:, 0], acts[0])
+    return dgi0
+
+
+# ---------------------------------------------------------------------------
+# First-order custom-VJP scan op + drop-in critic apply
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def make_fused_critic_scan(cfg: DiscriminatorConfig, tb: int = 8,
+                           interpret: bool | None = None):
+    """Differentiable fused critic scan:
+    (gi_tm [T,B,3H], h0, weights) -> (htop [T,B,H], h_fin [L,B,H])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not supports_fused_critic(cfg, interpret):
+        raise ValueError("config not supported by the fused critic kernel")
+
+    @jax.custom_vjp
+    def scan_fn(gi_tm, h0, weights):
+        htop, _hprev, hfin = critic_scan_forward(
+            gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
+        )
+        return htop, hfin
+
+    def fwd(gi_tm, h0, weights):
+        htop, hprev, hfin = critic_scan_forward(
+            gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
+        )
+        return (htop, hfin), (gi_tm, hprev, weights)
+
+    def bwd(res, cots):
+        gi_tm, hprev, weights = res
+        g_htop, g_hfin = cots
+        a_in, dh0 = critic_cotangent_chain(
+            g_htop, g_hfin, gi_tm, hprev, weights, cfg, tb=tb, interpret=interpret
+        )
+        grads, dgi = critic_panel_grads(a_in, gi_tm, hprev, weights, cfg)
+        names = critic_weight_names(cfg)
+        dweights = tuple(
+            grads[n].reshape(w.shape).astype(w.dtype)
+            for n, w in zip(names, weights)
+        )
+        return dgi.astype(gi_tm.dtype), dh0, dweights
+
+    scan_fn.defvjp(fwd, bwd)
+    return scan_fn
+
+
+def compute_critic_gi(params: Any, cfg: DiscriminatorConfig, poses, feats):
+    """XLA hoisted path: conv stack + ih0 projection (mirrors
+    models/discriminator.py flax semantics, incl. compute dtype)."""
+    cdt = critic_compute_dtype(cfg)
+    x = poses
+    if cfg.conditional:
+        if feats is None:
+            raise ValueError("conditional critic requires audio features")
+        x = jnp.concatenate([poses, feats], axis=-1)
+    x = x.astype(cdt)
+    for l in range(cfg.conv_layers):
+        leaf = params[f"conv_{l}"]
+        x = jax.lax.conv_general_dilated(
+            x, leaf["kernel"].astype(cdt), (1,), "SAME",
+            rhs_dilation=(cfg.conv_dilation ** l,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + leaf["bias"].astype(cdt)
+        x = jax.nn.leaky_relu(x, negative_slope=0.2)
+    leaf = params["ih0"]
+    return jnp.matmul(x, leaf["kernel"].astype(cdt)) + leaf["bias"].astype(cdt)
+
+
+def fused_critic_apply(
+    variables: Any,
+    cfg: DiscriminatorConfig,
+    poses: jax.Array,
+    feats: jax.Array | None,
+    carry=None,
+    return_carry: bool = False,
+    tb: int = 8,
+    interpret: bool | None = None,
+):
+    """Drop-in for Discriminator.apply (recurrent critics): score [B]."""
+    params = variables.get("params", variables)
+    b, t = poses.shape[:2]
+    gi = compute_critic_gi(params, cfg, poses, feats)       # [B, T, 3H]
+    gi_tm = jnp.swapaxes(gi, 0, 1)
+    if carry is None:
+        carry = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+    weights = extract_critic_weights(params["step"]["core"], cfg)
+    scan_fn = make_fused_critic_scan(cfg, tb=tb, interpret=interpret)
+    htop_tm, hfin = scan_fn(gi_tm, carry, weights)
+    leaf = params["step"]["score"]
+    scores = jnp.matmul(htop_tm, leaf["kernel"].astype(jnp.float32)) + leaf[
+        "bias"
+    ].astype(jnp.float32)                                    # [T, B, 1] f32
+    score = jnp.mean(scores, axis=(0, 2))                    # [B]
+    if return_carry:
+        return score, hfin
+    return score

@@ -1,0 +1,447 @@
+"""Second-order fused path for the WGAN gradient penalty.
+
+The GP needs ``∇_θ ρ(∇_x D(x̂, θ))`` — gradient-of-gradient through the
+critic's recurrent scan. In XLA that costs four sequential scan passes
+(forward, input-grad pullback, and the backward of both), each latency-
+bound — 11+ ms of the 14 ms full-preset train step (benchmarks/
+run_phases.py). This module makes every sequential pass a Pallas kernel.
+
+Exposed op (``make_scan_input_grad``):
+
+    input_grad(gi, gcot, θ_scan) = ∇_gi ⟨gcot, htop(gi, θ_scan)⟩
+
+- forward = K1 (fused_critic.critic_scan_forward) + K2
+  (fused_critic.critic_cotangent_chain) + a local XLA recompute — the
+  per-step input gradients of the scan.
+- its custom VJP is the hand-derived second-order: for a cotangent ``u``
+  on the input-grad output, every return term is the directional
+  derivative ``∂_ε[·](gi + ε·u)`` of a first-order quantity (standard
+  Hessian-vector identity — Φ is scalar so ⟨u, ∇Φ⟩ = ∂_ε Φ(gi+εu)):
+    * wrt gi:   ∂_ε ∇_gi Φ — tangent of the cotangent chain,
+    * wrt θ:    ∂_ε ∇_θ Φ — tangent weight gradients,
+    * wrt gcot: JVP of htop along u (Φ is linear in gcot).
+  Two new kernels compute the sequential parts: K3 ``_tan_fwd_kernel``
+  (forward tangent chain ḣ) and K4 ``_tan_cot_kernel`` (reverse tangent
+  cotangent chain ȧ, reading K2's saved a_in instead of re-chaining).
+  Everything else — tangent gate algebra over [T*B] panels, weight-grad
+  matmuls — is batched XLA (the generator-VJP two-phase pattern).
+
+The caller (train/step.py) builds the WGAN-GP as
+
+    gi   = hoisted_convs(θ, x̂)                  # XLA, autodiff handles 2nd order
+    gcot = ∂(Σ_b D_b)/∂htop = w_score / T        # explicit head cotangent
+    dgi  = input_grad(gi, gcot, θ_scan)          # this op
+    ĝ    = vjp(hoisted_convs)(dgi)               # XLA conv transpose
+    gp   = mean((‖ĝ‖ - 1)²)
+
+so an outer ``jax.grad`` only ever differentiates XLA ops and THIS op's
+custom VJP — never through another custom-VJP's backward (which JAX
+forbids). Gradient correctness vs pure-XLA autodiff: tests/test_fused_gp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.configs import DiscriminatorConfig
+from .fused_generator import _round_up
+from .fused_generator_vjp import _gate_cotangents
+from .fused_critic import (
+    _gru_gates,
+    _recompute_core,
+    _wdict,
+    _dot_cast,
+    cast_critic_weights,
+    critic_compute_dtype,
+    critic_cotangent_chain,
+    critic_scan_forward,
+    critic_weight_names,
+    input_grad_from_chain,
+    supports_fused_critic,
+)
+
+
+# ---------------------------------------------------------------------------
+# Shared tangent-step algebra (traced into K3/K4 and into the XLA panels)
+# ---------------------------------------------------------------------------
+
+def _tangent_step(x, xd, h, hd, gh, ghd, hidden):
+    """JVP of one GRU step. Returns (r, z, n, hn, rd, zd, nd, ghd_n,
+    h_new, hd_new)."""
+    r, z, n, hn = _gru_gates(x, gh, hidden)
+    xd_r, xd_z, xd_n = xd[..., :hidden], xd[..., hidden:2 * hidden], xd[..., 2 * hidden:]
+    ghd_r, ghd_z, ghd_n = ghd[..., :hidden], ghd[..., hidden:2 * hidden], ghd[..., 2 * hidden:]
+    rd = r * (1.0 - r) * (xd_r + ghd_r)
+    zd = z * (1.0 - z) * (xd_z + ghd_z)
+    nd = (1.0 - n * n) * (xd_n + rd * hn + r * ghd_n)
+    h_new = (1.0 - z) * n + z * h
+    hd_new = -zd * n + (1.0 - z) * nd + zd * h + z * hd
+    return r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new
+
+
+def _tangent_cotangents(a, adot, act, tan):
+    """ε-derivatives of the gate cotangents.
+
+    Primal (see fused_generator_vjp._gate_cotangents):
+      dn = a(1-z)(1-n²); dz = a(h-n)z(1-z); dr = dn·hn·r(1-r)
+    ``act`` = {h, hn, r, z, n}; ``tan`` = {hd, rd, zd, nd, ghd_n}.
+    Returns (dgi_d, dgh_d, dh_chain_d_partial) where the chain partial is
+    ȧ·z + a·ż (the dgh_d @ Wᵀ term is added by the caller)."""
+    h, hn, r, z, n = act["h"], act["hn"], act["r"], act["z"], act["n"]
+    hd, rd, zd, nd, ghd_n = tan["hd"], tan["rd"], tan["zd"], tan["nd"], tan["ghd_n"]
+    dn = a * (1.0 - z) * (1.0 - n * n)
+    dn_d = adot * (1.0 - z) * (1.0 - n * n) - a * zd * (1.0 - n * n) \
+        - 2.0 * a * (1.0 - z) * n * nd
+    dz_d = adot * (h - n) * z * (1.0 - z) + a * (hd - nd) * z * (1.0 - z) \
+        + a * (h - n) * zd * (1.0 - 2.0 * z)
+    dr_d = dn_d * hn * r * (1.0 - r) + dn * ghd_n * r * (1.0 - r) \
+        + dn * hn * rd * (1.0 - 2.0 * r)
+    dgi_d = jnp.concatenate([dr_d, dz_d, dn_d], axis=-1)
+    dgh_d = jnp.concatenate([dr_d, dz_d, dn_d * r + dn * rd], axis=-1)
+    return dgi_d, dgh_d, adot * z + a * zd
+
+
+def _tangent_recompute(gi0, u0, hprev_layers, hdot_layers, weights, cfg, dot):
+    """Forward primal + tangent recompute for one step (panels work too).
+
+    Tangent seeds: ġi = u0, θ̇ = 0, ḣ = hdot_layers (from K3's stream).
+    Returns per-layer dicts with both primal act fields and tangents."""
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    out = []
+    x, xd = gi0, u0
+    for l in range(layers):
+        h, hd = hprev_layers[l], hdot_layers[l]
+        w = weights[f"cell_l{l}.hh.kernel"]
+        gh = dot(h, w) + weights[f"cell_l{l}.hh.bias"]
+        ghd = dot(hd, w)
+        r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new = _tangent_step(
+            x, xd, h, hd, gh, ghd, hidden
+        )
+        out.append({
+            "h": h, "x": x, "hn": hn, "r": r, "z": z, "n": n, "h_new": h_new,
+            "hd": hd, "rd": rd, "zd": zd, "nd": nd, "ghd_n": ghd_n,
+            "hd_new": hd_new,
+        })
+        if l + 1 < layers:
+            u_w = weights[f"ih_l{l + 1}.kernel"]
+            x = dot(h_new, u_w) + weights[f"ih_l{l + 1}.bias"]
+            xd = dot(hd_new, u_w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K3: forward tangent chain kernel  (ḣ streams given ġi = u)
+# ---------------------------------------------------------------------------
+
+def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
+                    n_weights: int):
+    (gi_ref, u_ref, hprev_ref) = refs[:3]
+    w_refs = refs[3 : 3 + n_weights]
+    hdotprev_ref, hdottop_ref = refs[3 + n_weights : 5 + n_weights]
+    (hdot_scr,) = refs[5 + n_weights :]
+
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hdot_scr[...] = jnp.zeros_like(hdot_scr)
+
+    def step(t, _):
+        @pl.when(i * tb + t < t_total)
+        def _():
+            x = gi_ref[t].astype(jnp.float32)
+            xd = u_ref[t]
+            hd_new = None
+            for l in range(layers):
+                h = hprev_ref[t, l]
+                hd = hdot_scr[l]
+                hdotprev_ref[t, l] = hd
+                w = weights_map[f"cell_l{l}.hh.kernel"][...]
+                gh = jnp.dot(h.astype(w.dtype), w,
+                             preferred_element_type=jnp.float32) \
+                    + weights_map[f"cell_l{l}.hh.bias"][...]
+                ghd = jnp.dot(hd.astype(w.dtype), w,
+                              preferred_element_type=jnp.float32)
+                (r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new) = _tangent_step(
+                    x, xd, h, hd, gh, ghd, hidden
+                )
+                hdot_scr[l] = hd_new
+                if l + 1 < layers:
+                    u_w = weights_map[f"ih_l{l + 1}.kernel"][...]
+                    x = jnp.dot(h_new.astype(u_w.dtype), u_w,
+                                preferred_element_type=jnp.float32) \
+                        + weights_map[f"ih_l{l + 1}.bias"][...]
+                    xd = jnp.dot(hd_new.astype(u_w.dtype), u_w,
+                                 preferred_element_type=jnp.float32)
+            hdottop_ref[t] = hd_new
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+
+def tangent_forward(u_tm, gi_tm, hprev, weights, cfg, tb=8, interpret=None):
+    """Returns (hdotprev [T,L,B,H], hdottop [T,B,H]) for tangent ġi=u."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, _ = gi_tm.shape
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    t_pad = _round_up(t, tb)
+    n_blocks = t_pad // tb
+    w = cast_critic_weights(weights, cfg)
+
+    def pad_tm(x):
+        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
+
+    kern = functools.partial(
+        _tan_fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = lambda tail: (lambda i: (i,) + tail)
+    hdotprev, hdottop = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ] + [const(x.shape) for x in w],
+        out_specs=[
+            pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(pad_tm(gi_tm.astype(critic_compute_dtype(cfg))), pad_tm(u_tm), pad_tm(hprev), *w)
+    return hdotprev[:t], hdottop[:t]
+
+
+# ---------------------------------------------------------------------------
+# K4: reverse tangent cotangent-chain kernel (ȧ streams)
+# ---------------------------------------------------------------------------
+
+def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
+                    n_weights: int):
+    (gi_ref, u_ref, hprev_ref, hdotprev_ref, ain_ref) = refs[:5]
+    w_refs = refs[5 : 5 + n_weights]
+    (adot_ref,) = refs[5 + n_weights : 6 + n_weights]
+    (dhdot_scr,) = refs[6 + n_weights :]
+
+    layers = cfg.rnn_layers
+    weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
+
+    class _Lazy:
+        def __getitem__(self, name):
+            return weights_map[name][...]
+
+    weights = _Lazy()
+    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
+    dot_t = lambda a, b: jax.lax.dot_general(
+        a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dhdot_scr[...] = jnp.zeros_like(dhdot_scr)
+
+    def step(tt, _):
+        t = tb - 1 - tt
+
+        @pl.when((n_blocks - 1 - i) * tb + t < t_total)
+        def _():
+            gi0 = gi_ref[t].astype(jnp.float32)
+            u0 = u_ref[t]
+            hprev_layers = [hprev_ref[t, l] for l in range(layers)]
+            hdot_layers = [hdotprev_ref[t, l] for l in range(layers)]
+            acts = _tangent_recompute(gi0, u0, hprev_layers, hdot_layers,
+                                      weights, cfg, dot)
+
+            dabove_dot = jnp.zeros_like(hdot_layers[0])  # ġcot = 0
+            for l in range(layers - 1, -1, -1):
+                a = ain_ref[t, l]
+                adot = dhdot_scr[l] + dabove_dot
+                adot_ref[t, l] = adot
+                dgi_d, dgh_d, chain_part = _tangent_cotangents(
+                    a, adot, acts[l], acts[l]
+                )
+                dhdot_scr[l] = chain_part + dot_t(
+                    dgh_d, weights[f"cell_l{l}.hh.kernel"]
+                )
+                if l > 0:
+                    dabove_dot = dot_t(dgi_d, weights[f"ih_l{l}.kernel"])
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+
+def tangent_cotangent_chain(u_tm, gi_tm, hprev, hdotprev, a_in, weights, cfg,
+                            tb=8, interpret=None):
+    """Returns adot_in [T,L,B,H]: tangents of the incoming hidden cotangents."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, b, _ = gi_tm.shape
+    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    t_pad = _round_up(t, tb)
+    n_blocks = t_pad // tb
+    w = cast_critic_weights(weights, cfg)
+
+    def pad_tm(x):
+        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
+
+    kern = functools.partial(
+        _tan_cot_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    rev = lambda tail: (lambda i: (n_blocks - 1 - i,) + tail)
+    (adot_in,) = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ] + [const(x.shape) for x in w],
+        out_specs=[
+            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(pad_tm(gi_tm.astype(critic_compute_dtype(cfg))), pad_tm(u_tm),
+      pad_tm(hprev), pad_tm(hdotprev), pad_tm(a_in), *w)
+    return adot_in[:t]
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 (XLA): tangent weight grads + tangent input grads from the chains
+# ---------------------------------------------------------------------------
+
+def tangent_panel_grads(a_in, adot_in, u_tm, gi_tm, hprev, hdotprev, weights, cfg):
+    """Assemble ∂_ε ∇_θ Φ and ∂_ε ∇_gi Φ over [T*B] panels.
+
+    Returns (dweights dict keyed by critic_weight_names, dgi_d [T,B,3H])."""
+    layers = cfg.rnn_layers
+    wd = _wdict(weights, cfg)
+    acts = _tangent_recompute(
+        gi_tm.astype(jnp.float32), u_tm,
+        [hprev[:, l] for l in range(layers)],
+        [hdotprev[:, l] for l in range(layers)],
+        wd, cfg, _dot_cast,
+    )
+
+    def panel(x):
+        return x.reshape(-1, x.shape[-1])
+
+    def grad_mm(a, b, like):
+        return jax.lax.dot_general(
+            panel(a).astype(like.dtype), panel(b).astype(like.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    grads = {}
+    dgi0_d = None
+    for l in range(layers - 1, -1, -1):
+        a, adot = a_in[:, l], adot_in[:, l]
+        dgi, dgh, _ = _gate_cotangents(a, acts[l])
+        dgi_d, dgh_d, _ = _tangent_cotangents(a, adot, acts[l], acts[l])
+        wk = wd[f"cell_l{l}.hh.kernel"]
+        grads[f"cell_l{l}.hh.kernel"] = grad_mm(acts[l]["h"], dgh_d, wk) \
+            + grad_mm(acts[l]["hd"], dgh, wk)
+        grads[f"cell_l{l}.hh.bias"] = jnp.sum(panel(dgh_d), axis=0)
+        if l > 0:
+            uk = wd[f"ih_l{l}.kernel"]
+            grads[f"ih_l{l}.kernel"] = grad_mm(acts[l - 1]["h_new"], dgi_d, uk) \
+                + grad_mm(acts[l - 1]["hd_new"], dgi, uk)
+            grads[f"ih_l{l}.bias"] = jnp.sum(panel(dgi_d), axis=0)
+        else:
+            dgi0_d = dgi_d
+    return grads, dgi0_d
+
+
+# ---------------------------------------------------------------------------
+# The public op with its hand-derived second-order VJP
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def make_scan_input_grad(cfg: DiscriminatorConfig, tb: int = 8,
+                         interpret: bool | None = None):
+    """input_grad(gi_tm [T,B,3H], gcot_tm [T,B,H], weights) -> dgi [T,B,3H]
+    = ∇_gi ⟨gcot, htop(gi, θ)⟩ with zero initial carry (GP semantics: the
+    interpolates x̂ are scored from a fresh state). Differentiable wrt all
+    three inputs (the hand-derived second order documented above)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not supports_fused_critic(cfg, interpret):
+        raise ValueError("config not supported by the fused critic kernels")
+
+    def _forward_parts(gi_tm, gcot_tm, weights):
+        t, b, _ = gi_tm.shape
+        h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        _htop, hprev, _hfin = critic_scan_forward(
+            gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
+        )
+        a_in, _dh0 = critic_cotangent_chain(
+            gcot_tm, jnp.zeros_like(h0), gi_tm, hprev, weights, cfg,
+            tb=tb, interpret=interpret,
+        )
+        dgi = input_grad_from_chain(a_in, gi_tm, hprev, weights, cfg)
+        return dgi, hprev, a_in
+
+    @jax.custom_vjp
+    def input_grad(gi_tm, gcot_tm, weights):
+        return _forward_parts(gi_tm, gcot_tm, weights)[0]
+
+    def fwd(gi_tm, gcot_tm, weights):
+        dgi, hprev, a_in = _forward_parts(gi_tm, gcot_tm, weights)
+        return dgi, (gi_tm, hprev, a_in, weights)
+
+    def bwd(res, u):
+        gi_tm, hprev, a_in, weights = res
+        u = u.astype(jnp.float32)
+        hdotprev, hdottop = tangent_forward(
+            u, gi_tm, hprev, weights, cfg, tb=tb, interpret=interpret
+        )
+        adot_in = tangent_cotangent_chain(
+            u, gi_tm, hprev, hdotprev, a_in, weights, cfg,
+            tb=tb, interpret=interpret,
+        )
+        grads, dgi_d = tangent_panel_grads(
+            a_in, adot_in, u, gi_tm, hprev, hdotprev, weights, cfg
+        )
+        names = critic_weight_names(cfg)
+        dweights = tuple(
+            grads[n].reshape(w.shape).astype(w.dtype)
+            for n, w in zip(names, weights)
+        )
+        return dgi_d.astype(gi_tm.dtype), hdottop, dweights
+
+    input_grad.defvjp(fwd, bwd)
+    return input_grad
