@@ -8,6 +8,10 @@ Pallas generator kernels with bf16 MXU operands / f32 accumulators
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

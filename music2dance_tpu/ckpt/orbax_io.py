@@ -99,6 +99,56 @@ def save_checkpoint(
         f.write(configs_to_json(gan, audio, tc))
 
 
+class CheckpointWriter:
+    """Async step-numbered checkpoint writer (SURVEY.md §5 checkpoint row
+    promises *async* save; round-1 blocked the train loop on every write).
+
+    Owns ONE orbax CheckpointManager with async checkpointing enabled:
+    ``save()`` returns as soon as the state is snapshotted off the live
+    buffers; serialization to disk runs on orbax's background thread while
+    training continues. The next ``save()`` (and ``close()``) applies the
+    wait-on-previous-save discipline internally. Layout matches
+    ``save_checkpoint(step=N)`` — ``restore_checkpoint``/``restore_bundle``
+    read both interchangeably.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        gan: GANConfig,
+        audio: AudioConfig,
+        tc: TrainConfig,
+        max_to_keep: int = 3,
+    ):
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(path, "steps"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True,
+            ),
+        )
+        with open(os.path.join(path, CONFIG_FILE), "w") as f:
+            f.write(configs_to_json(gan, audio, tc))
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(int(step), args=ocp.args.StandardSave(_pack_state(state)))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def checkpoint_steps(path: str) -> list[int]:
     """Steps available in a managed (step-numbered) bundle."""
     steps_dir = os.path.join(os.path.abspath(path), "steps")

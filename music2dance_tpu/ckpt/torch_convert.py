@@ -98,24 +98,118 @@ def torch_state_dict_to_flax(state_dict: dict, template: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def save_torch_checkpoint(path: str, g_params: Any, d_params: Any) -> None:
-    """Write a reference-style torch checkpoint {'generator','discriminator'}."""
+def adam_state_to_torch(opt_state: Any, params: Any) -> dict:
+    """optax.adam state -> a name-keyed torch-side Adam state blob.
+
+    Moments live on parameter-shaped tensors, so they transform exactly
+    like the parameters (kernel transposes included); torch keys match the
+    model state dict. ``step`` is optax's shared update count (torch Adam
+    keeps one per parameter but they are all equal under a fixed schedule).
+    Use ``adam_blob_to_index_format`` to emit torch.optim.Adam's integer-
+    indexed layout for a concrete torch model.
+    """
+    adam = opt_state[0]  # optax.adam = chain(scale_by_adam, scale); [0] = moments
+    return {
+        "step": int(adam.count),
+        "exp_avg": flax_to_torch_state_dict(adam.mu),
+        "exp_avg_sq": flax_to_torch_state_dict(adam.nu),
+    }
+
+
+def adam_state_from_torch(blob: dict, opt_template: Any, params_template: Any) -> Any:
+    """Name-keyed Adam blob -> optax.adam state shaped like ``opt_template``."""
+    import jax.numpy as jnp
+
+    adam = opt_template[0]
+    mu = torch_state_dict_to_flax(dict(blob["exp_avg"]), params_template)
+    nu = torch_state_dict_to_flax(dict(blob["exp_avg_sq"]), params_template)
+    new_adam = adam._replace(
+        count=jnp.asarray(int(blob["step"]), jnp.int32),
+        mu=jax.tree.map(lambda t, x: jnp.asarray(x, jnp.asarray(t).dtype), adam.mu, mu),
+        nu=jax.tree.map(lambda t, x: jnp.asarray(x, jnp.asarray(t).dtype), adam.nu, nu),
+    )
+    return (new_adam,) + tuple(opt_template[1:])
+
+
+def adam_blob_to_index_format(blob: dict, model) -> dict:
+    """Name-keyed blob -> torch.optim.Adam.state_dict() integer layout for
+    a concrete torch module (index order = model.parameters() order)."""
     import torch
 
-    torch.save(
-        {
-            "generator": flax_to_torch_state_dict(g_params),
-            "discriminator": flax_to_torch_state_dict(d_params),
-        },
-        path,
-    )
+    names = [n for n, _ in model.named_parameters()]
+    state = {}
+    for i, n in enumerate(names):
+        state[i] = {
+            "step": torch.tensor(float(blob["step"])),
+            "exp_avg": blob["exp_avg"][n],
+            "exp_avg_sq": blob["exp_avg_sq"][n],
+        }
+    return {
+        "state": state,
+        "param_groups": [{"params": list(range(len(names)))}],
+    }
 
 
-def load_torch_checkpoint(path: str, g_template: Any, d_template: Any) -> tuple:
+def adam_blob_from_index_format(sd: dict, model) -> dict:
+    """torch.optim.Adam.state_dict() -> name-keyed blob (reverse adapter,
+    for resuming from a real reference checkpoint)."""
+    names = [n for n, _ in model.named_parameters()]
+    order = sd["param_groups"][0]["params"]
+    step = 0
+    exp_avg, exp_avg_sq = {}, {}
+    for i, pid in enumerate(order):
+        st = sd["state"].get(pid, sd["state"].get(str(pid)))
+        if st is None:
+            continue
+        step = int(st["step"])
+        exp_avg[names[i]] = st["exp_avg"]
+        exp_avg_sq[names[i]] = st["exp_avg_sq"]
+    return {"step": step, "exp_avg": exp_avg, "exp_avg_sq": exp_avg_sq}
+
+
+def save_torch_checkpoint(
+    path: str,
+    g_params: Any,
+    d_params: Any,
+    opt_g: Any = None,
+    opt_d: Any = None,
+) -> None:
+    """Write a reference-style torch checkpoint {'generator',
+    'discriminator'[, 'opt_g', 'opt_d']} — optimizer states included when
+    given (SURVEY.md §2 C8: reference checkpoints hold G/D *and* optimizer
+    states)."""
+    import torch
+
+    blob = {
+        "generator": flax_to_torch_state_dict(g_params),
+        "discriminator": flax_to_torch_state_dict(d_params),
+    }
+    if opt_g is not None:
+        blob["opt_g"] = adam_state_to_torch(opt_g, g_params)
+    if opt_d is not None:
+        blob["opt_d"] = adam_state_to_torch(opt_d, d_params)
+    torch.save(blob, path)
+
+
+def load_torch_checkpoint(
+    path: str,
+    g_template: Any,
+    d_template: Any,
+    opt_g_template: Any = None,
+    opt_d_template: Any = None,
+) -> tuple:
+    """Returns (g, d) or (g, d, opt_g, opt_d) when optimizer templates are
+    given and the checkpoint carries optimizer states."""
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=True)
-    return (
-        torch_state_dict_to_flax(blob["generator"], g_template),
-        torch_state_dict_to_flax(blob["discriminator"], d_template),
-    )
+    g = torch_state_dict_to_flax(blob["generator"], g_template)
+    d = torch_state_dict_to_flax(blob["discriminator"], d_template)
+    if opt_g_template is None and opt_d_template is None:
+        return g, d
+    opt_g = opt_d = None
+    if opt_g_template is not None and "opt_g" in blob:
+        opt_g = adam_state_from_torch(blob["opt_g"], opt_g_template, g_template)
+    if opt_d_template is not None and "opt_d" in blob:
+        opt_d = adam_state_from_torch(blob["opt_d"], opt_d_template, d_template)
+    return g, d, opt_g, opt_d

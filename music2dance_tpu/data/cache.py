@@ -15,6 +15,8 @@ compute-bound training (benchmarks/run_pipeline.py quantifies it).
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Optional
 
@@ -23,6 +25,13 @@ import jax
 import numpy as np
 
 from ..audio import AudioConfig, jit_extract_features
+
+MANIFEST = "manifest.json"
+
+
+def _manifest(audio: AudioConfig, n_clips: int) -> dict:
+    return {"audio": dataclasses.asdict(audio), "n_clips": n_clips,
+            "format_version": 1}
 
 
 class PrecomputedFeatureSource(grain.sources.RandomAccessDataSource):
@@ -43,6 +52,24 @@ class PrecomputedFeatureSource(grain.sources.RandomAccessDataSource):
     ):
         self._clips: list[dict] = []
         if cache_dir is not None and os.path.isdir(cache_dir) and os.listdir(cache_dir):
+            # a cache is only reusable for the SAME audio config + corpus
+            # size — a stale cache from another run silently yields wrong
+            # features otherwise (round-1 advisor finding)
+            mpath = os.path.join(cache_dir, MANIFEST)
+            if not os.path.exists(mpath):
+                raise ValueError(
+                    f"feature cache {cache_dir!r} has no {MANIFEST}; refusing "
+                    "to load an unidentified cache — delete it to rebuild"
+                )
+            with open(mpath) as f:
+                found = json.load(f)
+            want = _manifest(audio, len(source))
+            if found != want:
+                raise ValueError(
+                    f"feature cache {cache_dir!r} was built with a different "
+                    f"audio config or corpus (cache: {found}, expected: "
+                    f"{want}); delete it to rebuild"
+                )
             for f in sorted(os.listdir(cache_dir)):
                 if f.endswith(".npz"):
                     with np.load(os.path.join(cache_dir, f)) as z:
@@ -80,6 +107,8 @@ class PrecomputedFeatureSource(grain.sources.RandomAccessDataSource):
                     os.path.join(cache_dir, f"clip{i:06d}.npz"),
                     feats=c["feats"], pose=c["pose"],
                 )
+            with open(os.path.join(cache_dir, MANIFEST), "w") as f:
+                json.dump(_manifest(audio, len(source)), f)
 
     def __len__(self) -> int:
         return len(self._clips)

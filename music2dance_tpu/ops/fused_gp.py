@@ -390,6 +390,35 @@ def tangent_panel_grads(a_in, adot_in, u_tm, gi_tm, hprev, hdotprev, weights, cf
 # The public op with its hand-derived second-order VJP
 # ---------------------------------------------------------------------------
 
+def fused_gradient_penalty(d_params, cfg: DiscriminatorConfig, x_hat, feats,
+                           tb: int = 8, interpret: bool | None = None):
+    """WGAN-GP via the fused second-order op: gp = mean((‖∇_x D(x̂)‖-1)²).
+
+    Drop-in for train/losses.gradient_penalty on recurrent critics (zero
+    initial carry — GP semantics). Differentiable wrt d_params through the
+    hand-derived second-order VJP; used by train/step.py and train/tbptt.py.
+    """
+    from .fused_critic import compute_critic_gi, extract_critic_weights
+
+    params = d_params.get("params", d_params)
+    b, t = x_hat.shape[:2]
+
+    def hoisted(xh):
+        gi = compute_critic_gi(params, cfg, xh, feats)
+        return jnp.swapaxes(gi, 0, 1)  # [T, B, 3H]
+
+    gi_tm, pull = jax.vjp(hoisted, x_hat)
+    w_score = params["step"]["score"]["kernel"].astype(jnp.float32)  # [H, 1]
+    gcot = jnp.broadcast_to(w_score[:, 0] / t, (t, b, cfg.hidden_dim))
+    weights = extract_critic_weights(params["step"]["core"], cfg)
+    dgi = make_scan_input_grad(cfg, tb=tb, interpret=interpret)(gi_tm, gcot, weights)
+    (g_hat,) = pull(dgi.astype(gi_tm.dtype))
+    g_hat = g_hat.astype(jnp.float32)
+    sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+    norms = jnp.sqrt(sq + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
 @functools.lru_cache(maxsize=16)
 def make_scan_input_grad(cfg: DiscriminatorConfig, tb: int = 8,
                          interpret: bool | None = None):

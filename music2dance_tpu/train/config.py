@@ -28,7 +28,11 @@ class TrainConfig:
     continuity_weight: float = 0.0  # optional G smoothness aux loss
     # truncated BPTT (0 = disabled; BASELINE config #4 uses 30 s clips)
     tbptt_window: int = 0
-    # checkpointing / logging cadence
+    tbptt_remat: bool = False      # jax.checkpoint each window update
+    #   (recompute instead of storing per-window activations — trades ~1
+    #   extra forward per window for O(n_windows) less live memory)
+    # checkpointing / logging / eval cadence
     ckpt_every: int = 500
     ckpt_keep: int = 3             # step-numbered history depth (orbax GC)
     log_every: int = 50
+    eval_every: int = 0            # held-out eval cadence (0 = disabled)

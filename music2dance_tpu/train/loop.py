@@ -16,7 +16,7 @@ from typing import Iterator, Optional
 import jax
 
 from ..audio import AudioConfig
-from ..ckpt.orbax_io import save_checkpoint
+from ..ckpt.orbax_io import CheckpointWriter
 from ..models import GANConfig
 from ..parallel.dp import shard_train_step
 from ..parallel.mesh import batch_sharding
@@ -38,6 +38,7 @@ def train_from_store(
     mesh: Optional[jax.sharding.Mesh] = None,
     state: Optional[TrainState] = None,
     seed: int = 0,
+    evaluator=None,
 ) -> TrainState:
     """Train from a device-resident DeviceFeatureStore (zero input cost).
 
@@ -54,7 +55,8 @@ def train_from_store(
         state = init_state(jax.random.key(seed), gan, tc, sample)
 
     if mesh is not None:
-        step = make_sampling_train_step(gan, tc, store, n_frames, axis_name="data")
+        step = make_sampling_train_step(gan, tc, store, n_frames, axis_name="data",
+                                        num_shards=mesh.size)
         from jax.sharding import PartitionSpec as P
 
         def make_chunk(length):
@@ -78,6 +80,10 @@ def train_from_store(
     chunk_len = min(tc.log_every, total_steps)
     chunk = make_chunk(chunk_len)
     logger = MetricsLogger(log_dir)
+    writer = (
+        CheckpointWriter(ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep)
+        if ckpt_dir is not None else None
+    )
     import time as _time
 
     try:
@@ -93,13 +99,16 @@ def train_from_store(
             dt = _time.perf_counter() - t0
             done += chunk_len
             logger.log(done, {**last, "steps_per_sec": chunk_len / dt})
-            if ckpt_dir is not None and done % tc.ckpt_every < chunk_len:
-                save_checkpoint(ckpt_dir, state, gan, audio, tc,
-                                step=done, max_to_keep=tc.ckpt_keep)
-        if ckpt_dir is not None:
-            save_checkpoint(ckpt_dir, state, gan, audio, tc,
-                            step=int(state.step), max_to_keep=tc.ckpt_keep)
+            if evaluator is not None and tc.eval_every > 0 and done % tc.eval_every < chunk_len:
+                logger.log(done,
+                           {f"eval_{k}": v for k, v in evaluator(state).items()})
+            if writer is not None and done % tc.ckpt_every < chunk_len:
+                writer.save(done, state)  # async: returns immediately
+        if writer is not None:
+            writer.save(int(state.step), state)
     finally:
+        if writer is not None:
+            writer.close()  # waits for the in-flight write
         logger.close()
     return state
 
@@ -115,8 +124,13 @@ def train(
     mesh: Optional[jax.sharding.Mesh] = None,
     state: Optional[TrainState] = None,
     seed: int = 0,
+    evaluator=None,
 ) -> TrainState:
     """Run ``total_steps`` alternating updates. Returns the final state.
+
+    ``evaluator``: optional eval.evaluator.Evaluator; called every
+    ``tc.eval_every`` steps, its metrics land in the JSONL with an
+    ``eval_`` prefix.
 
     ``host_batches`` yields {"wave" or "feats", "poses"/"pose"} numpy
     batches (see data/pipeline.make_dataset); feature extraction happens
@@ -145,6 +159,10 @@ def train(
 
     logger = MetricsLogger(log_dir)
     timer = StepTimer(window=max(1, tc.log_every))
+    writer = (
+        CheckpointWriter(ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep)
+        if ckpt_dir is not None else None
+    )
     metrics = {}
     batch = first
     try:
@@ -155,14 +173,16 @@ def train(
             if timer.tick(metrics):
                 extra = {"steps_per_sec": timer.steps_per_sec} if timer.steps_per_sec else {}
                 logger.log(int(i + 1), {**metrics, **extra})
-            if ckpt_dir is not None and (i + 1) % tc.ckpt_every == 0:
-                synchronize(metrics)
-                save_checkpoint(ckpt_dir, state, gan, audio, tc,
-                                step=i + 1, max_to_keep=tc.ckpt_keep)
+            if evaluator is not None and tc.eval_every > 0 and (i + 1) % tc.eval_every == 0:
+                logger.log(int(i + 1),
+                           {f"eval_{k}": v for k, v in evaluator(state).items()})
+            if writer is not None and (i + 1) % tc.ckpt_every == 0:
+                writer.save(i + 1, state)  # async: training continues
         synchronize(metrics)
-        if ckpt_dir is not None:
-            save_checkpoint(ckpt_dir, state, gan, audio, tc,
-                            step=int(state.step), max_to_keep=tc.ckpt_keep)
+        if writer is not None:
+            writer.save(int(state.step), state)
     finally:
+        if writer is not None:
+            writer.close()  # waits for the in-flight write
         logger.close()
     return state

@@ -28,9 +28,17 @@ def make_sampling_train_step(
     store: DeviceFeatureStore,
     n_frames: int,
     axis_name: Optional[str] = None,
+    num_shards: int = 1,
 ):
+    """``tc.batch_size`` is the GLOBAL batch in every input mode: under
+    DP each shard samples batch_size / num_shards clips (round-1 advisor
+    finding: device_store mode silently trained on batch_size * N)."""
+    if tc.batch_size % num_shards != 0:
+        raise ValueError(
+            f"global batch {tc.batch_size} not divisible by {num_shards} shards"
+        )
     inner = make_train_step(gan, tc, axis_name=axis_name)
-    local_batch = tc.batch_size
+    local_batch = tc.batch_size // num_shards
 
     def step(state: TrainState):
         key = jax.random.fold_in(
@@ -53,10 +61,12 @@ def shard_sampling_train_step(
     axis_name: str = "data",
     donate: bool = True,
 ):
-    """DP variant: per-shard sampling (tc.batch_size is the PER-SHARD batch)."""
+    """DP variant: each shard samples batch_size / mesh.size clips."""
     from jax.sharding import PartitionSpec as P
 
-    step = make_sampling_train_step(gan, tc, store, n_frames, axis_name=axis_name)
+    step = make_sampling_train_step(
+        gan, tc, store, n_frames, axis_name=axis_name, num_shards=mesh.size
+    )
     sharded = jax.shard_map(
         step, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()), check_vma=False
     )

@@ -70,12 +70,22 @@ def init_state(
     )
 
 
-def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
+def make_train_step(
+    gan: GANConfig,
+    tc: TrainConfig,
+    axis_name: Optional[str] = None,
+    fused: Optional[bool] = None,
+):
     """Build ``train_step(state, batch) -> (state, metrics)``.
 
     ``batch``: {"feats": [B,T,F], "poses": [B,T,P]}. The returned function
     is pure and jittable; callers decide whether to wrap it in ``jax.jit``
     directly (single device) or in ``shard_map`` (DP over a mesh).
+
+    ``fused``: None = use the Pallas kernel paths when a TPU backend is
+    active and the configs support them (the default); True = force them
+    (interpret mode off-TPU — used by the CPU equivalence tests); False =
+    pure XLA.
     """
     gen = Generator(gan.generator)
     disc = Discriminator(gan.discriminator)
@@ -103,14 +113,26 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         idx = start + jnp.arange(local_b)
         return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
 
-    # The critic-phase fake batch is stop-gradient-ed, so its generation is
-    # forward-only — use the fused Pallas scan on TPU (exact same outputs).
-    # The generator phase needs gradients through G and keeps the XLA scan.
+    # Pallas kernel paths. Generator: fused scan for the critic-phase fake
+    # batch (forward-only) and the custom two-phase VJP in the generator
+    # phase. Critic: fused first-order scan for real/fake scores and the
+    # hand-derived second-order input-grad op for the gradient penalty —
+    # no XLA scan remains anywhere in the step (run_phases.py measured the
+    # four XLA critic scan passes at 11.1 of the 14 ms full-preset step).
+    from ..ops.fused_critic import fused_critic_apply, supports_fused_critic
     from ..ops.fused_generator import fused_apply, supports_fused
 
-    fused_fwd_ok = jax.default_backend() == "tpu" and supports_fused(
-        gan.generator, interpret=False
-    )
+    if fused is None:
+        on_tpu = jax.default_backend() == "tpu"
+        fused_gen_ok = on_tpu and supports_fused(gan.generator, interpret=False)
+        fused_critic_ok = on_tpu and supports_fused_critic(
+            gan.discriminator, interpret=False
+        )
+    elif fused:
+        fused_gen_ok = supports_fused(gan.generator, interpret=True)
+        fused_critic_ok = supports_fused_critic(gan.discriminator, interpret=True)
+    else:
+        fused_gen_ok = fused_critic_ok = False
 
     def sample_z(key, b, dtype):
         keys = per_example_keys(key, b)
@@ -120,27 +142,41 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
 
     def sample_fake(g_params, feats, key, forward_only=False):
         z = sample_z(key, feats.shape[0], feats.dtype)
-        if fused_fwd_ok:
+        if fused_gen_ok:
             if forward_only:
-                return fused_apply(g_params, gan.generator, feats, z, interpret=False)
+                return fused_apply(g_params, gan.generator, feats, z)
             # generator phase: differentiable fused scan (custom two-phase
             # VJP — ops/fused_generator_vjp.py; 1.5x the XLA g_loss grad)
             from ..ops.fused_generator_vjp import fused_apply_diff
 
-            return fused_apply_diff(g_params, gan.generator, feats, z, interpret=False)
+            return fused_apply_diff(g_params, gan.generator, feats, z)
         return gen.apply(g_params, feats, z)
 
-    def d_loss_fn(d_params, g_params, batch, key):
-        """Critic loss with ONE batched critic pass over [real; fake; x_hat].
+    def critic_scores(d_params, poses, feats):
+        if fused_critic_ok:
+            return fused_critic_apply(
+                d_params, gan.discriminator, poses, feats if cond else None
+            )
+        return disc_apply(d_params, poses, feats)
 
-        The recurrent critic at small batch is iteration-latency-bound, not
-        FLOP-bound, so three separate D passes (real, fake, interpolates)
-        cost ~3x one pass at 3x batch. Concatenating them makes the
-        forward, the GP's inner input-gradient (via jax.vjp with a
-        selection cotangent), and the outer parameter gradient all ride a
-        single batched scan. Per-sample independence of the critic makes
-        this numerically identical to separate passes.
-        """
+    def fused_gp(d_params, x_hat, feats):
+        """WGAN-GP via the fused second-order op (ops/fused_gp.py): the
+        outer jax.grad only ever differentiates XLA ops and the op's
+        hand-derived custom VJP."""
+        from ..ops.fused_gp import fused_gradient_penalty
+
+        return fused_gradient_penalty(
+            d_params, gan.discriminator, x_hat, feats if cond else None
+        )
+
+    def d_loss_fn(d_params, g_params, batch, key):
+        """Critic loss. Fused path: one fused scan over [real; fake] for
+        the scores, the second-order kernel op for the penalty. XLA path:
+        ONE batched critic pass over [real; fake; x_hat] — the recurrent
+        critic is iteration-latency-bound, so the forward, the GP's inner
+        input-gradient (jax.vjp with a selection cotangent), and the outer
+        parameter gradient all ride a single batched scan (per-sample
+        independence makes this identical to separate passes)."""
         feats, real = batch["feats"], batch["poses"]
         b = real.shape[0]
         k_z, k_gp = jax.random.split(key)
@@ -153,19 +189,28 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
         a = alpha.reshape((b,) + (1,) * (real.ndim - 1))
         x_hat = a * real + (1.0 - a) * fake
 
-        x_all = jnp.concatenate([real, fake, x_hat], axis=0)
-        f_all = jnp.concatenate([feats] * 3, axis=0)
-        scores, pullback = jax.vjp(lambda x: disc_apply(d_params, x, f_all), x_all)
-        sel = jnp.concatenate(
-            [jnp.zeros((2 * b,), scores.dtype), jnp.ones((b,), scores.dtype)]
-        )
-        (gx,) = pullback(sel)
-        g_hat = gx[2 * b :]
-        sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
-        norms = jnp.sqrt(sq + 1e-12)
-        gp = jnp.mean((norms - 1.0) ** 2)
+        if fused_critic_ok:
+            x_rf = jnp.concatenate([real, fake], axis=0)
+            f_rf = jnp.concatenate([feats] * 2, axis=0)
+            scores = critic_scores(d_params, x_rf, f_rf)
+            s_real, s_fake = scores[:b], scores[b:]
+            gp = fused_gp(d_params, x_hat, feats)
+        else:
+            x_all = jnp.concatenate([real, fake, x_hat], axis=0)
+            f_all = jnp.concatenate([feats] * 3, axis=0)
+            scores, pullback = jax.vjp(
+                lambda x: disc_apply(d_params, x, f_all), x_all
+            )
+            sel = jnp.concatenate(
+                [jnp.zeros((2 * b,), scores.dtype), jnp.ones((b,), scores.dtype)]
+            )
+            (gx,) = pullback(sel)
+            g_hat = gx[2 * b :]
+            sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+            norms = jnp.sqrt(sq + 1e-12)
+            gp = jnp.mean((norms - 1.0) ** 2)
+            s_real, s_fake = scores[:b], scores[b : 2 * b]
 
-        s_real, s_fake = scores[:b], scores[b : 2 * b]
         loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
         aux = {
             "d_loss": loss,
@@ -177,7 +222,7 @@ def make_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = 
     def g_loss_fn(g_params, d_params, batch, key):
         feats = batch["feats"]
         fake = sample_fake(g_params, feats, key)
-        s_fake = disc_apply(d_params, fake, feats)
+        s_fake = critic_scores(d_params, fake, feats)
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
         return loss, {"g_loss": loss}
 

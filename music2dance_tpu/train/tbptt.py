@@ -49,10 +49,17 @@ def init_carries(gan: GANConfig, batch: int) -> dict:
     }
 
 
-def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
-    """Returns (window_update, train_step). See module docstring."""
-    if tc.n_critic != 1:
-        raise ValueError("TBPTT training supports n_critic=1 (one D update per window)")
+def make_tbptt_machinery(
+    gan: GANConfig,
+    tc: TrainConfig,
+    axis_name: Optional[str] = None,
+    fused: Optional[bool] = None,
+):
+    """Returns (window_update, train_step). See module docstring.
+
+    ``fused``: None = Pallas kernel paths on TPU when supported, True =
+    force (interpret off-TPU, for CPU equivalence tests), False = pure XLA.
+    """
     if tc.tbptt_window <= 0:
         raise ValueError("tc.tbptt_window must be positive for TBPTT training")
 
@@ -61,21 +68,32 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
 
-    # fused Pallas generator scan (forward-only in the critic phase,
-    # custom-VJP in the generator phase); carries chain across windows
+    # fused Pallas kernels: generator scan (forward-only in the critic
+    # phase, custom-VJP in the generator phase), critic scan (first-order
+    # custom VJP), and the second-order GP op; carries chain across windows
+    from ..ops.fused_critic import fused_critic_apply, supports_fused_critic
     from ..ops.fused_generator import fused_apply, supports_fused
     from ..ops.fused_generator_vjp import fused_apply_diff
+    from ..ops.fused_gp import fused_gradient_penalty
 
-    fused_ok = jax.default_backend() == "tpu" and supports_fused(
-        gan.generator, interpret=False
-    )
+    if fused is None:
+        on_tpu = jax.default_backend() == "tpu"
+        fused_ok = on_tpu and supports_fused(gan.generator, interpret=False)
+        fused_critic_ok = on_tpu and supports_fused_critic(
+            gan.discriminator, interpret=False
+        )
+    elif fused:
+        fused_ok = supports_fused(gan.generator, interpret=True)
+        fused_critic_ok = supports_fused_critic(gan.discriminator, interpret=True)
+    else:
+        fused_ok = fused_critic_ok = False
 
     def gen_apply(g_params, wfeats, z, carry, diff):
         if fused_ok:
             fn = fused_apply_diff if diff else fused_apply
             return fn(
                 g_params, gan.generator, wfeats, z,
-                carry=carry, return_carry=True, interpret=False,
+                carry=carry, return_carry=True,
             )
         return gen.apply(g_params, wfeats, z, carry=carry, return_carry=True)
 
@@ -96,6 +114,11 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
         )(keys)
 
     def d_apply(d_params, poses, feats, carry):
+        if fused_critic_ok:
+            return fused_critic_apply(
+                d_params, gan.discriminator, poses, feats if cond else None,
+                carry=carry, return_carry=True,
+            )
         return disc.apply(
             d_params, poses, feats if cond else None, carry=carry, return_carry=True
         )
@@ -112,10 +135,17 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), wposes.dtype))(
             per_example_keys(k_gp, b)
         )
-        gp = gradient_penalty(
-            lambda p: disc.apply(d_params, p, wfeats if cond else None),
-            wposes, fake, alpha=alpha,
-        )
+        a = alpha.reshape((b,) + (1,) * (wposes.ndim - 1))
+        x_hat = a * wposes + (1.0 - a) * fake
+        if fused_critic_ok:
+            gp = fused_gradient_penalty(
+                d_params, gan.discriminator, x_hat, wfeats if cond else None
+            )
+        else:
+            gp = gradient_penalty(
+                lambda p: disc.apply(d_params, p, wfeats if cond else None),
+                wposes, fake, alpha=alpha,
+            )
         loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
         aux = {
             "d_loss": loss,
@@ -134,18 +164,35 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
         new_carries = {"g_g": g_g_new, "d_gfake": d_gfake_new}
         return loss, ({"g_loss": loss}, new_carries)
 
+    # per-window remat: recompute loss intermediates during the backward
+    # instead of storing them — the memory lever for long windows / large
+    # batch (SURVEY.md §5 long-context row)
+    d_loss_vg = jax.value_and_grad(
+        jax.checkpoint(d_loss_fn) if tc.tbptt_remat else d_loss_fn, has_aux=True
+    )
+    g_loss_vg = jax.value_and_grad(
+        jax.checkpoint(g_loss_fn) if tc.tbptt_remat else g_loss_fn, has_aux=True
+    )
+
     def window_update(state: TrainState, carries: dict, wfeats, wposes, key):
-        """One alternating update on one window. Pure; no step/rng bumping."""
+        """One alternating update on one window: ``n_critic`` critic
+        updates (all scored from the window's incoming carries — the
+        stream state advances once per window) + 1 generator update.
+        Pure; no step/rng bumping."""
         kd, kg = jax.random.split(key)
 
-        (_, (d_aux, d_new)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params, state.g_params, wfeats, wposes, kd, carries
-        )
-        d_grads = pmean(d_grads)
-        d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params, opt_d = state.d_params, state.opt_d
+        d_aux, d_new = None, None
+        for i in range(tc.n_critic):  # static unroll — n_critic is config
+            ki = jax.random.fold_in(kd, i)
+            (_, (d_aux, d_new)), d_grads = d_loss_vg(
+                d_params, state.g_params, wfeats, wposes, ki, carries
+            )
+            d_grads = pmean(d_grads)
+            d_updates, opt_d = tx_d.update(d_grads, opt_d, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
 
-        (_, (g_aux, g_new)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        (_, (g_aux, g_new)), g_grads = g_loss_vg(
             state.g_params, d_params, wfeats, kg, carries
         )
         g_grads = pmean(g_grads)
@@ -196,5 +243,10 @@ def make_tbptt_machinery(gan: GANConfig, tc: TrainConfig, axis_name: Optional[st
     return window_update, train_step
 
 
-def make_tbptt_train_step(gan: GANConfig, tc: TrainConfig, axis_name: Optional[str] = None):
-    return make_tbptt_machinery(gan, tc, axis_name)[1]
+def make_tbptt_train_step(
+    gan: GANConfig,
+    tc: TrainConfig,
+    axis_name: Optional[str] = None,
+    fused: Optional[bool] = None,
+):
+    return make_tbptt_machinery(gan, tc, axis_name, fused=fused)[1]

@@ -150,3 +150,31 @@ def test_silence_is_finite():
     y = np.zeros(cfg.num_samples(1.0), dtype=np.float32)
     feats = extract_features(jnp.asarray(y), cfg)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_masked_batch_extraction_matches_per_song(rng):
+    """pad_and_extract_batch over mixed-length songs == per-song
+    extract_features on every valid frame (incl. the last frame, which
+    naive zero-padded batching corrupts)."""
+    import jax.numpy as jnp
+
+    from music2dance_tpu.audio.frontend import (
+        extract_features,
+        pad_and_extract_batch,
+    )
+
+    cfg = FAST
+    waves = [
+        make_wave(rng, s, cfg, kind)
+        for s, kind in [(1.0, "mix"), (0.63, "noise"), (0.35, "mix")]
+    ]
+    feats, t_valid = pad_and_extract_batch(waves, cfg)
+    feats = np.asarray(feats)
+    for i, w in enumerate(waves):
+        ref = np.asarray(extract_features(jnp.asarray(w), cfg))
+        assert t_valid[i] == ref.shape[0]
+        np.testing.assert_allclose(
+            feats[i, : t_valid[i]], ref, rtol=2e-5, atol=2e-5,
+            err_msg=f"song {i}",
+        )
+        np.testing.assert_array_equal(feats[i, t_valid[i]:], 0.0)

@@ -118,3 +118,31 @@ def test_step_numbered_checkpoints_with_gc(tmp_path):
     # restore_bundle picks up the managed latest too
     gan2, audio2, state2 = restore_bundle(path)
     assert int(state2.step) == 5
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """CheckpointWriter: async saves land on disk, restore-by-latest and
+    restore_bundle read them, GC keeps max_to_keep (VERDICT missing #4)."""
+    from music2dance_tpu.ckpt.orbax_io import (
+        CheckpointWriter,
+        checkpoint_steps,
+        restore_bundle,
+        restore_checkpoint,
+    )
+
+    import jax.numpy as jnp
+
+    tc = TrainConfig(batch_size=4, n_critic=1)
+    batch = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+    path = str(tmp_path / "async_ckpt")
+    with CheckpointWriter(path, GAN, AUDIO, tc, max_to_keep=2) as w:
+        for s in (1, 2, 3):
+            w.save(s, state.replace(step=jnp.asarray(s, jnp.int32)))
+    steps = checkpoint_steps(path)
+    assert steps == [2, 3], steps  # GC kept the newest 2
+    restored = restore_checkpoint(path, state)
+    assert int(restored.step) == 3
+    _gan, _audio, bundle_state = restore_bundle(path)
+    assert int(bundle_state.step) == 3

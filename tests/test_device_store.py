@@ -72,7 +72,7 @@ def test_sharded_sampling_train_step():
     from music2dance_tpu.parallel import make_mesh
 
     store = make_store()
-    tc = TrainConfig(batch_size=2)  # per-shard
+    tc = TrainConfig(batch_size=8)  # GLOBAL batch: 2 per shard on 4 devices
     n = 10
     sample = store.sample(jax.random.key(0), 2, n)
     state = init_state(jax.random.key(1), GAN, tc, sample)
@@ -103,6 +103,19 @@ def test_train_from_store_dp():
     from music2dance_tpu.train.loop import train_from_store
 
     store = make_store()
-    tc = TrainConfig(batch_size=2, clip_seconds=10 / AUDIO.feature_rate, log_every=2)
+    tc = TrainConfig(batch_size=8, clip_seconds=10 / AUDIO.feature_rate, log_every=2)
     state = train_from_store(GAN, tc, AUDIO, store, total_steps=2, mesh=make_mesh(4))
     assert int(state.step) == 2
+
+
+def test_sampling_global_batch_semantics():
+    """tc.batch_size is the global batch in all input modes (round-1
+    advisor finding): indivisible shard counts are rejected."""
+    import pytest
+
+    from music2dance_tpu.train.sampled import make_sampling_train_step
+
+    store = make_store()
+    tc = TrainConfig(batch_size=6)
+    with pytest.raises(ValueError):
+        make_sampling_train_step(GAN, tc, store, 10, axis_name="data", num_shards=4)

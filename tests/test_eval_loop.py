@@ -1,0 +1,67 @@
+"""Train/val split + in-loop evaluation (VERDICT round-1 missing #3)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.pipeline import (
+    SyntheticClipSource,
+    make_dataset,
+    split_source,
+)
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.eval.evaluator import Evaluator
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state
+from music2dance_tpu.train.loop import train
+
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+                    n_mels=40, n_mfcc=13)
+GAN = tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+
+
+def test_split_disjoint_and_deterministic():
+    src = SyntheticClipSource(20, 0.3, AUDIO, LAYOUT)
+    tr, va = split_source(src, val_fraction=0.25, seed=3)
+    assert len(tr) == 15 and len(va) == 5
+    tr2, va2 = split_source(src, val_fraction=0.25, seed=3)
+    assert tr._indices == tr2._indices and va._indices == va2._indices
+    assert set(tr._indices).isdisjoint(va._indices)
+    assert sorted(set(tr._indices) | set(va._indices)) == list(range(20))
+    # tiny sources still get one val clip
+    tr3, va3 = split_source(SyntheticClipSource(2, 0.3, AUDIO, LAYOUT), 0.1)
+    assert len(va3) == 1 and len(tr3) == 1
+
+
+def test_evaluator_metrics_finite():
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    ev = Evaluator(GAN, batch)
+    out = ev(state)
+    assert {"wasserstein", "diversity", "real_diversity"} <= set(out)
+    for k, v in out.items():
+        assert np.isfinite(v), k
+
+
+def test_train_loop_emits_eval_rows(tmp_path):
+    tc = TrainConfig(batch_size=4, n_critic=1, eval_every=2, log_every=2)
+    src = SyntheticClipSource(8, 0.5, AUDIO, LAYOUT)
+    tr, va = split_source(src, val_fraction=0.25, seed=0)
+    ds = make_dataset(tr, 4, 0.5, AUDIO, seed=0)
+    val_batch = synthetic_batch(jax.random.key(5), 4, 0.5, AUDIO, LAYOUT,
+                                through_frontend=False)
+    ev = Evaluator(GAN, val_batch)
+    log_dir = str(tmp_path / "logs")
+    train(GAN, tc, AUDIO, iter(ds), total_steps=4, log_dir=log_dir, evaluator=ev)
+
+    rows = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    eval_rows = [r for r in rows if any(k.startswith("eval_") for k in r)]
+    assert len(eval_rows) == 2, rows  # steps 2 and 4
+    assert all(np.isfinite(v) for r in eval_rows for k, v in r.items()
+               if k.startswith("eval_"))

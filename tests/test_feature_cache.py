@@ -73,3 +73,36 @@ def test_feature_dataset_trains():
     ds = make_feature_dataset(src, 4, 0.5, AUDIO, seed=0, frontend_impl="xla")
     state = train(gan, tc, AUDIO, iter(ds), total_steps=2)
     assert int(state.step) == 2
+
+
+def test_stale_cache_rejected(tmp_path):
+    """A cache built under a different audio config or corpus must refuse
+    to load (round-1 advisor finding: silent stale-cache reuse)."""
+    import dataclasses
+
+    import pytest
+
+    from music2dance_tpu.data.cache import PrecomputedFeatureSource
+
+    src = SyntheticClipSource(4, 0.5, AUDIO, LAYOUT)
+    cache = str(tmp_path / "cache")
+    PrecomputedFeatureSource(src, AUDIO, cache_dir=cache)  # builds + manifest
+
+    # same config + corpus: loads fine
+    PrecomputedFeatureSource(src, AUDIO, cache_dir=cache)
+
+    # different audio config: rejected
+    other = dataclasses.replace(AUDIO, n_mfcc=7)
+    with pytest.raises(ValueError, match="different"):
+        PrecomputedFeatureSource(src, other, cache_dir=cache)
+
+    # different corpus size: rejected
+    bigger = SyntheticClipSource(6, 0.5, AUDIO, LAYOUT)
+    with pytest.raises(ValueError, match="different"):
+        PrecomputedFeatureSource(bigger, AUDIO, cache_dir=cache)
+
+    # manifest-less cache: rejected
+    import os
+    os.remove(os.path.join(cache, "manifest.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        PrecomputedFeatureSource(src, AUDIO, cache_dir=cache)

@@ -89,10 +89,6 @@ def test_tbptt_step_finite_and_updates():
 def test_tbptt_rejects_bad_config():
     import pytest
 
-    tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=2)
-    with pytest.raises(ValueError):
-        make_tbptt_machinery(GAN, tc)
-
     tc = TrainConfig(batch_size=B, tbptt_window=0)
     with pytest.raises(ValueError):
         make_tbptt_machinery(GAN, tc)
@@ -103,3 +99,51 @@ def test_tbptt_rejects_bad_config():
     state = init_state(jax.random.key(1), GAN, tc, batch)
     with pytest.raises(ValueError):
         jax.jit(train_step)(state, batch)
+
+
+def test_tbptt_n_critic_and_remat():
+    """n_critic > 1 (round-1 VERDICT weak #6) and the per-window remat
+    flag produce finite training that matches the unremat-ed step."""
+    tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=3)
+    batch = make_long_batch()
+    state = init_state(jax.random.key(2), GAN, tc, batch)
+    _, train_step = make_tbptt_machinery(GAN, tc)
+    s1, m1 = jax.jit(train_step)(state, batch)
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+
+    import dataclasses
+    tc_r = dataclasses.replace(tc, tbptt_remat=True)
+    _, step_r = make_tbptt_machinery(GAN, tc_r)
+    s2, m2 = jax.jit(step_r)(state, batch)
+    # remat changes memory, not math
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.d_params),
+        jax.tree_util.tree_leaves_with_path(s2.d_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_tbptt_fused_equals_xla():
+    """Fused-kernel TBPTT step (interpret mode) == pure-XLA TBPTT step."""
+    tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=1)
+    batch = make_long_batch()
+    state = init_state(jax.random.key(3), GAN, tc, batch)
+    _, step_xla = make_tbptt_machinery(GAN, tc, fused=False)
+    _, step_fused = make_tbptt_machinery(GAN, tc, fused=True)
+    sx, mx = jax.jit(step_xla)(state, batch)
+    sf, mf = jax.jit(step_fused)(state, batch)
+    for k in mx:
+        np.testing.assert_allclose(float(mf[k]), float(mx[k]), rtol=5e-4,
+                                   atol=1e-5, err_msg=k)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path((sx.g_params, sx.d_params)),
+        jax.tree_util.tree_leaves_with_path((sf.g_params, sf.d_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )

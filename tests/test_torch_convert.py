@@ -170,3 +170,68 @@ def test_generator_equivalence_nondefault_combos(autoregressive, residual):
             torch.from_numpy(np.asarray(feats)), torch.from_numpy(np.asarray(z))
         ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_optimizer_state_round_trip(tmp_path):
+    """Adam moments survive flax -> torch -> flax, and resuming with them
+    differs from resuming with zero moments (the round-1 gap)."""
+    import optax
+    from music2dance_tpu.ckpt.torch_convert import (
+        adam_blob_from_index_format,
+        adam_blob_to_index_format,
+        adam_state_to_torch,
+    )
+
+    gan = make_gan("gru")
+    gen = Generator(gan.generator)
+    disc = Discriminator(gan.discriminator)
+    feats = jax.random.normal(jax.random.key(0), (B, T, F))
+    z = jax.random.normal(jax.random.key(1), (B, gan.generator.noise_dim))
+    poses = jax.random.normal(jax.random.key(2), (B, T, LAYOUT.pose_dim))
+    gp = gen.init(jax.random.key(3), feats, z)["params"]
+    dp = disc.init(jax.random.key(4), poses, feats)["params"]
+
+    tx = optax.adam(1e-3, b1=0.5, b2=0.9)
+    opt_g, opt_d = tx.init(gp), tx.init(dp)
+    # take two updates so moments are nonzero and count is 2
+    for k in (5, 6):
+        grads = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.key(k), x.shape), gp
+        )
+        upd, opt_g = tx.update(grads, opt_g, gp)
+        gp = optax.apply_updates(gp, upd)
+
+    path = str(tmp_path / "ckpt_opt.pt")
+    save_torch_checkpoint(path, gp, dp, opt_g=opt_g, opt_d=opt_d)
+    g2, d2, og2, od2 = load_torch_checkpoint(path, gp, dp, opt_g, opt_d)
+
+    assert int(og2[0].count) == int(opt_g[0].count) == 2
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path((opt_g[0].mu, opt_g[0].nu)),
+        jax.tree_util.tree_leaves_with_path((og2[0].mu, og2[0].nu)),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa)
+        )
+
+    # a further update from restored state == from original state
+    grads = jax.tree.map(lambda x: jnp.ones_like(x), gp)
+    u1, _ = tx.update(grads, opt_g, gp)
+    u2, _ = tx.update(grads, og2, g2)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(u1),
+        jax.tree_util.tree_leaves_with_path(u2),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+    # index-format adapter round trip against the torch mirror
+    tg, _ = build_torch_models(gan)
+    blob = adam_state_to_torch(opt_g, gp)
+    indexed = adam_blob_to_index_format(blob, tg)
+    back = adam_blob_from_index_format(indexed, tg)
+    assert back["step"] == blob["step"]
+    for k in blob["exp_avg"]:
+        np.testing.assert_array_equal(
+            blob["exp_avg"][k].numpy(), back["exp_avg"][k].numpy(), err_msg=k
+        )

@@ -117,3 +117,43 @@ def test_perf_preset_trains():
     assert np.isfinite(float(metrics["d_loss"]))
     assert float(metrics["gp"]) > 0.0
     assert not leaves_allclose(new_state.d_params, state.d_params)
+
+
+def test_fused_step_equals_xla_step():
+    """The fully-fused step (Pallas G kernels + fused critic + second-order
+    GP op, interpret mode on CPU) must produce the same updates as the
+    pure-XLA step: same RNG draws, same math, f32."""
+    tc = TrainConfig(batch_size=4, lambda_gp=10.0, n_critic=2)
+    batch = make_batch(batch=4, seconds=0.4)
+    state = init_state(jax.random.key(7), GAN, tc, batch)
+
+    step_xla = jax.jit(make_train_step(GAN, tc, fused=False))
+    step_fused = jax.jit(make_train_step(GAN, tc, fused=True))
+
+    sx, mx = step_xla(state, batch)
+    sf, mf = step_fused(state, batch)
+    for k in mx:
+        np.testing.assert_allclose(
+            float(mf[k]), float(mx[k]), rtol=5e-4, atol=1e-5, err_msg=k
+        )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path((sx.g_params, sx.d_params)),
+        jax.tree_util.tree_leaves_with_path((sf.g_params, sf.d_params)),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # adam normalizes by grad scale; compare updated params directly
+        np.testing.assert_allclose(
+            b, a, rtol=2e-3, atol=2e-4, err_msg=jax.tree_util.keystr(pa)
+        )
+
+    # a second step from the fused state stays finite and in lockstep
+    sx2, _ = step_xla(sx, batch)
+    sf2, _ = step_fused(sf, batch)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sx2.d_params),
+        jax.tree_util.tree_leaves_with_path(sf2.d_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )

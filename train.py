@@ -30,6 +30,8 @@ flags.DEFINE_enum("input_mode", "stream", ["stream", "feature_cache", "device_st
                   "with on-device sampling (fastest when it fits)")
 flags.DEFINE_string("cache_dir", None, "feature cache directory (.npz)")
 flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
+flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
+flags.DEFINE_float("val_fraction", 0.1, "held-out clip fraction for --eval_every")
 
 
 def main(argv):
@@ -71,6 +73,21 @@ def main(argv):
 
     mesh = make_mesh(FLAGS.dp) if FLAGS.dp > 0 else None
 
+    evaluator = None
+    if FLAGS.eval_every > 0:
+        import dataclasses as _dc
+
+        from music2dance_tpu.data.pipeline import split_source
+        from music2dance_tpu.eval.evaluator import evaluator_from_iterator
+
+        p = _dc.replace(p, train=_dc.replace(p.train, eval_every=FLAGS.eval_every))
+        source, val_source = split_source(source, FLAGS.val_fraction, FLAGS.seed)
+        val_ds = make_dataset(
+            val_source, p.train.batch_size, p.train.clip_seconds, p.audio,
+            seed=FLAGS.seed + 1, shuffle=False,
+        )
+        evaluator = evaluator_from_iterator(p.gan, val_ds, p.audio, seed=FLAGS.seed)
+
     state = None
     if FLAGS.restore:
         from music2dance_tpu.ckpt.orbax_io import restore_bundle
@@ -89,7 +106,7 @@ def main(argv):
             return train_from_store(
                 p.gan, p.train, p.audio, store, FLAGS.steps,
                 ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
-                state=state, seed=FLAGS.seed,
+                state=state, seed=FLAGS.seed, evaluator=evaluator,
             )
     else:
         if FLAGS.input_mode == "feature_cache":
@@ -110,7 +127,7 @@ def main(argv):
             return train(
                 p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
                 ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
-                state=state, seed=FLAGS.seed,
+                state=state, seed=FLAGS.seed, evaluator=evaluator,
             )
 
     if FLAGS.trace_dir:
