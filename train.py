@@ -123,9 +123,15 @@ def main(argv):
                 seed=FLAGS.seed, num_workers=FLAGS.workers,
             )
 
+        it = iter(ds)
+        if FLAGS.restore:
+            from music2dance_tpu.train.loop import restore_data_state
+
+            it = restore_data_state(FLAGS.restore, it)
+
         def run():
             return train(
-                p.gan, p.train, p.audio, iter(ds), FLAGS.steps,
+                p.gan, p.train, p.audio, it, FLAGS.steps,
                 ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
                 state=state, seed=FLAGS.seed, evaluator=evaluator,
             )
