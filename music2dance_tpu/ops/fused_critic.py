@@ -97,13 +97,8 @@ def cast_critic_weights(weights: tuple, cfg: DiscriminatorConfig) -> tuple:
 # Shared recompute: forward gates of one step (kernel and XLA phase-2)
 # ---------------------------------------------------------------------------
 
-def _gru_gates(x, gh, hidden):
-    i_r, i_z, i_n = x[..., :hidden], x[..., hidden:2 * hidden], x[..., 2 * hidden:]
-    h_r, h_z, h_n = gh[..., :hidden], gh[..., hidden:2 * hidden], gh[..., 2 * hidden:]
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return r, z, n, h_n
+from .gru_math import gru_gates as _gru_gates  # noqa: E402  (shared algebra)
+from .gru_math import pack_gates as _pack_gates  # noqa: E402
 
 
 def _recompute_core(gi0, hprev_layers, weights, cfg, dot):
@@ -125,14 +120,22 @@ def _recompute_core(gi0, hprev_layers, weights, cfg, dot):
     return acts
 
 
+def acts_from_saved(gates, hprev_layers, cfg):
+    """Per-layer act dicts from K1's saved gate streams (gru_math helper
+    bound to this config's hidden size)."""
+    from .gru_math import acts_from_saved as _afs
+
+    return _afs(gates, hprev_layers, cfg.hidden_dim)
+
+
 # ---------------------------------------------------------------------------
 # K1: forward scan kernel
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weights: int):
     (gi_ref, h0_ref), w_refs = refs[:2], refs[2 : 2 + n_weights]
-    htop_ref, hprev_ref, hfin_ref = refs[2 + n_weights : 5 + n_weights]
-    (h_scr,) = refs[5 + n_weights :]
+    htop_ref, hprev_ref, gates_ref, hfin_ref = refs[2 + n_weights : 6 + n_weights]
+    (h_scr,) = refs[6 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     cdt = critic_compute_dtype(cfg)
@@ -155,7 +158,8 @@ def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
                     h.astype(cdt), weights[f"cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"cell_l{l}.hh.bias"][...]
-                r, z, n, _hn = _gru_gates(x, gh, hidden)
+                r, z, n, hn = _gru_gates(x, gh, hidden)
+                gates_ref[t, l] = _pack_gates(r, z, n, hn).astype(cdt)
                 h_new = (1.0 - z) * n + z * h
                 h_scr[l] = h_new
                 if l + 1 < layers:
@@ -182,7 +186,9 @@ def critic_scan_forward(
     tb: int = 8,
     interpret: bool | None = None,
 ):
-    """Returns (htop [T,B,H], hprev [T,L,B,H], h_fin [L,B,H]), all f32."""
+    """Returns (htop [T,B,H], hprev [T,L,B,H], gates [T,L,B,4H],
+    h_fin [L,B,H]), all f32. ``gates`` packs [r|z|n|hn] per (step, layer)
+    so every downstream kernel/panel skips the forward recompute."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, b, gh3 = gi_tm.shape
@@ -200,7 +206,7 @@ def critic_scan_forward(
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    htop, hprev, hfin = pl.pallas_call(
+    htop, hprev, gates, hfin = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
@@ -212,17 +218,22 @@ def critic_scan_forward(
             pl.BlockSpec((tb, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, 4 * hidden), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             const((layers, b, hidden)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden),
+                                 critic_compute_dtype(cfg)),
             jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gi_p, h0, *w)
-    return htop[:t], hprev[:t], hfin
+    return htop[:t], hprev[:t], gates[:t], hfin
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +241,7 @@ def critic_scan_forward(
 # ---------------------------------------------------------------------------
 
 def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weights: int):
-    (gcot_ref, gi_ref, hprev_ref, ghfin_ref) = refs[:4]
+    (gcot_ref, hprev_ref, gates_ref, ghfin_ref) = refs[:4]
     w_refs = refs[4 : 4 + n_weights]
     ain_ref, dh0_ref = refs[4 + n_weights : 6 + n_weights]
     (dh_scr,) = refs[6 + n_weights :]
@@ -243,7 +254,6 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
             return weights_map[name][...]
 
     weights = _Lazy()
-    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
     dot_t = lambda a, b: jax.lax.dot_general(
         a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -261,9 +271,12 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
 
         @pl.when((n_blocks - 1 - i) * tb + t < t_total)
         def _():
-            gi0 = gi_ref[t].astype(jnp.float32)
-            hprev_layers = [hprev_ref[t, l] for l in range(layers)]
-            acts = _recompute_core(gi0, hprev_layers, weights, cfg, dot)
+            # gates were saved by K1: the only matmul left per step is the
+            # chain transpose dgh @ Whh^T
+            acts = acts_from_saved(
+                [gates_ref[t, l] for l in range(layers)],
+                [hprev_ref[t, l] for l in range(layers)], cfg,
+            )
 
             dabove = gcot_ref[t]
             for l in range(layers - 1, -1, -1):
@@ -286,8 +299,8 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
 def critic_cotangent_chain(
     gcot_tm: jax.Array,  # [T, B, H] cotangent on htop (f32)
     g_hfin: jax.Array,   # [L, B, H] cotangent on the final carry
-    gi_tm: jax.Array,    # [T, B, 3H] saved forward input
     hprev: jax.Array,    # [T, L, B, H] saved pre-step hidden states
+    gates: jax.Array,    # [T, L, B, 4H] saved gate streams (K1)
     weights: tuple,      # uncast
     cfg: DiscriminatorConfig,
     tb: int = 8,
@@ -297,7 +310,8 @@ def critic_cotangent_chain(
     per (step, layer) and the h0 cotangent."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t, b, _ = gi_tm.shape
+    t = gcot_tm.shape[0]
+    b = gcot_tm.shape[1]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     t_pad = _round_up(t, tb)
     n_blocks = t_pad // tb
@@ -317,8 +331,9 @@ def critic_cotangent_chain(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tb, b, hidden), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, 4 * hidden), rev((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             const((layers, b, hidden)),
         ] + [const(x.shape) for x in w],
@@ -333,8 +348,8 @@ def critic_cotangent_chain(
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
-    )(pad_tm(gcot_tm), pad_tm(gi_tm.astype(critic_compute_dtype(cfg))),
-      pad_tm(hprev), g_hfin, *w)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(pad_tm(gcot_tm), pad_tm(hprev), pad_tm(gates), g_hfin, *w)
     return a_in[:t], dh0
 
 
@@ -355,17 +370,17 @@ def _dot_cast(a, c):
     return jnp.dot(a.astype(c.dtype), c, preferred_element_type=jnp.float32)
 
 
-def critic_panel_grads(a_in, gi_tm, hprev, weights, cfg):
+def critic_panel_grads(a_in, gates, hprev, weights, cfg):
     """All weight grads + the gi cotangent as [T*B]-panel matmuls.
 
-    a_in [T,L,B,H], gi_tm [T,B,3H], hprev [T,L,B,H]; weights uncast.
+    a_in [T,L,B,H], gates [T,L,B,4H], hprev [T,L,B,H]; weights uncast.
     Returns (grads dict keyed by critic_weight_names, dgi [T,B,3H] f32).
     """
     layers = cfg.rnn_layers
     wd = _wdict(weights, cfg)
-    acts = _recompute_core(
-        gi_tm.astype(jnp.float32), [hprev[:, l] for l in range(layers)],
-        wd, cfg, _dot_cast,
+    acts = acts_from_saved(
+        [gates[:, l] for l in range(layers)],
+        [hprev[:, l] for l in range(layers)], cfg,
     )
 
     def panel(x):
@@ -396,14 +411,10 @@ def critic_panel_grads(a_in, gi_tm, hprev, weights, cfg):
     return grads, dgi0
 
 
-def input_grad_from_chain(a_in, gi_tm, hprev, weights, cfg):
+def input_grad_from_chain(a_in, gates, hprev, cfg):
     """Just the gi cotangent: layer-0 dgi, locally recomputed from a_in
     (a_in already contains the cross-layer and cross-step chaining)."""
-    wd = _wdict(weights, cfg)
-    acts = _recompute_core(
-        gi_tm.astype(jnp.float32), [hprev[:, l] for l in range(cfg.rnn_layers)],
-        wd, cfg, _dot_cast,
-    )
+    acts = acts_from_saved([gates[:, 0]], [hprev[:, 0]], cfg)
     dgi0, _dgh, _ = _gate_cotangents(a_in[:, 0], acts[0])
     return dgi0
 
@@ -424,30 +435,31 @@ def make_fused_critic_scan(cfg: DiscriminatorConfig, tb: int = 8,
 
     @jax.custom_vjp
     def scan_fn(gi_tm, h0, weights):
-        htop, _hprev, hfin = critic_scan_forward(
+        htop, _hprev, _gates, hfin = critic_scan_forward(
             gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
         )
         return htop, hfin
 
     def fwd(gi_tm, h0, weights):
-        htop, hprev, hfin = critic_scan_forward(
+        htop, hprev, gates, hfin = critic_scan_forward(
             gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
         )
-        return (htop, hfin), (gi_tm, hprev, weights)
+        return (htop, hfin), (hprev, gates, weights)
 
     def bwd(res, cots):
-        gi_tm, hprev, weights = res
+        hprev, gates, weights = res
+        gi_dtype = critic_compute_dtype(cfg)
         g_htop, g_hfin = cots
         a_in, dh0 = critic_cotangent_chain(
-            g_htop, g_hfin, gi_tm, hprev, weights, cfg, tb=tb, interpret=interpret
+            g_htop, g_hfin, hprev, gates, weights, cfg, tb=tb, interpret=interpret
         )
-        grads, dgi = critic_panel_grads(a_in, gi_tm, hprev, weights, cfg)
+        grads, dgi = critic_panel_grads(a_in, gates, hprev, weights, cfg)
         names = critic_weight_names(cfg)
         dweights = tuple(
             grads[n].reshape(w.shape).astype(w.dtype)
             for n, w in zip(names, weights)
         )
-        return dgi.astype(gi_tm.dtype), dh0, dweights
+        return dgi.astype(gi_dtype), dh0, dweights
 
     scan_fn.defvjp(fwd, bwd)
     return scan_fn

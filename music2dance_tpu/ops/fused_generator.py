@@ -109,19 +109,20 @@ def extract_step_weights(step_params: Any, cfg: GeneratorConfig) -> tuple:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _gru_gates(x, gh, hidden):
-    i_r, i_z, i_n = x[:, :hidden], x[:, hidden : 2 * hidden], x[:, 2 * hidden :]
-    h_r, h_z, h_n = gh[:, :hidden], gh[:, hidden : 2 * hidden], gh[:, 2 * hidden :]
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return r, z, n
+from .gru_math import gru_gates as _gru_gates  # shared gate algebra
+from .gru_math import pack_gates as _pack_gates
 
 
-def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: int):
+def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
+                n_weights: int, save_acts: bool):
     (gi_ref, h0_ref, prev0_ref), w_refs = refs[:3], refs[3 : 3 + n_weights]
-    poses_ref, hprev_ref, pprev_ref, hfin_ref, pfin_ref = refs[3 + n_weights : 8 + n_weights]
-    h_scr, prev_scr = refs[8 + n_weights :]
+    k = 3 + n_weights
+    poses_ref, hprev_ref, pprev_ref, hfin_ref, pfin_ref = refs[k : k + 5]
+    k += 5
+    if save_acts:
+        gates_ref, ypre_ref = refs[k : k + 2]
+        k += 2
+    h_scr, prev_scr = refs[k:]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     cdt = compute_dtype(cfg)
@@ -154,7 +155,9 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
                     h.astype(cdt), weights[f"core.cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"core.cell_l{l}.hh.bias"][...]
-                r, z, n = _gru_gates(x, gh, hidden)
+                r, z, n, hn = _gru_gates(x, gh, hidden)
+                if save_acts:
+                    gates_ref[t, l] = _pack_gates(r, z, n, hn).astype(cdt)
                 h_new = (1.0 - z) * n + z * h
                 h_scr[l] = h_new
                 if l + 1 < layers:
@@ -163,11 +166,13 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
                         preferred_element_type=jnp.float32,
                     ) + weights[f"core.ih_l{l + 1}.bias"][...]
 
-            y = jax.nn.relu(
-                jnp.dot(h_new.astype(cdt), weights["head_fc.kernel"][...],
-                        preferred_element_type=jnp.float32)
-                + weights["head_fc.bias"][...]
-            )
+            y_pre = jnp.dot(
+                h_new.astype(cdt), weights["head_fc.kernel"][...],
+                preferred_element_type=jnp.float32,
+            ) + weights["head_fc.bias"][...]
+            if save_acts:
+                ypre_ref[t] = y_pre
+            y = jax.nn.relu(y_pre)
             out = jnp.dot(
                 y, weights["head_out.kernel"][...],
                 preferred_element_type=jnp.float32,
@@ -194,9 +199,13 @@ def fused_generator_forward(
     cfg: GeneratorConfig,
     tb: int = 4,
     interpret: bool | None = None,
+    save_acts: bool = False,
 ):
     """Returns (poses [B,T,P], hprev [T,L,B,H], pprev [T,B,P],
-    h_final [L,B,H], prev_final [B,P])."""
+    h_final [L,B,H], prev_final [B,P]) — plus, with ``save_acts``,
+    (gates [T,L,B,4H], ypre [T,B,head_hidden]) appended: the saved
+    forward streams that let the backward kernel and the weight-grad
+    panels skip every forward-recompute matmul."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not supports_fused(cfg, interpret):
@@ -220,10 +229,38 @@ def fused_generator_forward(
     n_weights = len(names)
 
     kern = functools.partial(
-        _fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=n_weights
+        _fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=n_weights,
+        save_acts=save_acts,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+
+    out_specs = [
+        pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const((layers, b, hidden)),
+        const((b, p_dim)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
+    ]
+    if save_acts:
+        out_specs += [
+            pl.BlockSpec((tb, layers, b, 4 * hidden), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, cfg.head_hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden), compute_dtype(cfg)),
+            jax.ShapeDtypeStruct((t_pad, b, cfg.head_hidden), jnp.float32),
+        ]
 
     outs = pl.pallas_call(
         kern,
@@ -234,31 +271,23 @@ def fused_generator_forward(
             const((layers, b, hidden)),
             const((b, p_dim)),
         ] + [const(w.shape) for w in weights],
-        out_specs=[
-            pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
-            const((b, p_dim)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
-            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((layers, b, hidden), jnp.float32),
             pltpu.VMEM((b, p_dim), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gi_tm, h0, prev0, *weights)
 
-    poses_tm, hprev, pprev, h_fin, p_fin = outs
+    poses_tm, hprev, pprev, h_fin, p_fin = outs[:5]
     poses = jnp.swapaxes(poses_tm[:t], 0, 1)  # [B, T, P]
-    return poses, hprev[:t], pprev[:t], h_fin, p_fin
+    base = (poses, hprev[:t], pprev[:t], h_fin, p_fin)
+    if save_acts:
+        gates, ypre = outs[5], outs[6]
+        return base + (gates[:t], ypre[:t])
+    return base
 
 
 # ---------------------------------------------------------------------------

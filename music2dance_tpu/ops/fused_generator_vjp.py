@@ -4,20 +4,23 @@ Backward is two-phase (the VMEM budget forces it — see docs/DESIGN.md §3):
 
 Phase 1 — sequential Pallas kernel, reverse over time. Carries the only
 truly sequential quantities: the per-layer hidden cotangent chain dh and
-the pose-feedback cotangent chain dprev. Per step it recomputes the
-forward gates from the saved pre-step states (activation recompute is
-cheaper than storing activations) and emits the per-step *incoming* hidden
-cotangents ``dh_in[t, l]`` and total pose cotangents ``dpose[t]``.
+the pose-feedback cotangent chain dprev. The forward saved its gate
+streams [r|z|n|hn] and head pre-activations (save-don't-recompute,
+round 2), so per step the ONLY matmuls left are the unavoidable chain
+transposes (dgh @ Whhᵀ, dgi @ Wihᵀ, the head transposes, dgi₀ @ Wposeᵀ) —
+the forward-recompute matmuls are gone. The kernel emits the per-step
+*incoming* hidden cotangents ``dh_in[t, l]`` and total pose cotangents
+``dpose[t]``.
 
-Phase 2 — batched XLA. Given dh_in/dpose, every remaining quantity is
-local to its timestep: gates are recomputed over the whole [T*B] panel at
-once and ALL weight gradients become single large MXU matmuls
-(e.g. dWhh = hprev^T @ dgh over T*B rows). No weight-gradient accumulator
-ever rides the sequential loop — the classic scan-transpose bottleneck.
+Phase 2 — batched XLA. Given dh_in/dpose and the saved streams, every
+remaining quantity is local to its timestep and ALL weight gradients
+become single large MXU matmuls (e.g. dWhh = hprevᵀ @ dgh over T*B rows).
+No weight-gradient accumulator ever rides the sequential loop — the
+classic scan-transpose bottleneck.
 
-Gradient coverage: gi_static, h0, prev0, and every step weight. That is
-everything the generator phase of training needs (first order only — the
-critic keeps pure-XLA autodiff for the WGAN-GP second-order path).
+Gradient coverage: gi_static, h0, prev0, and every step weight. The
+critic phase has its own kernel bank (ops/fused_critic.py, ops/fused_gp.py
+for the WGAN-GP second order).
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import GeneratorConfig
+from .gru_math import acts_from_saved
+from .gru_math import gate_cotangents as _gate_cotangents
 from .fused_generator import (
     _round_up,
     cast_weights,
@@ -41,55 +46,11 @@ from .fused_generator import (
 
 
 # ---------------------------------------------------------------------------
-# shared recompute math (used by both phases; phase 1 traces it into the
-# kernel, phase 2 traces it into batched XLA)
-# ---------------------------------------------------------------------------
-
-def _recompute_step(gi0, hprev_layers, weights, cfg, dot):
-    """Forward recompute for one timestep (any batch panel shape [..., H]).
-
-    Returns per-layer (h_prev, x_input_side, gh, r, z, n, h_new) plus the
-    head intermediates (y_pre, y, h_top).
-    """
-    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    acts = []
-    x = gi0
-    h_new = None
-    for l in range(layers):
-        h = hprev_layers[l]
-        gh = dot(h, weights[f"core.cell_l{l}.hh.kernel"]) + weights[f"core.cell_l{l}.hh.bias"]
-        i_r, i_z, i_n = x[..., :hidden], x[..., hidden:2 * hidden], x[..., 2 * hidden:]
-        h_r, h_z, h_n = gh[..., :hidden], gh[..., hidden:2 * hidden], gh[..., 2 * hidden:]
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
-        acts.append({"h": h, "x": x, "hn": h_n, "r": r, "z": z, "n": n, "h_new": h_new})
-        if l + 1 < layers:
-            x = dot(h_new, weights[f"core.ih_l{l + 1}.kernel"]) + weights[f"core.ih_l{l + 1}.bias"]
-    y_pre = dot(h_new, weights["head_fc.kernel"]) + weights["head_fc.bias"]
-    y = jax.nn.relu(y_pre)
-    return acts, y_pre, y, h_new
-
-
-def _gate_cotangents(a, act):
-    """Incoming hidden cotangent ``a`` -> (dgi, dgh, dh_prev_partial)."""
-    r, z, n, h, hn = act["r"], act["z"], act["n"], act["h"], act["hn"]
-    dn_pre = a * (1.0 - z) * (1.0 - n * n)
-    dz_pre = a * (h - n) * z * (1.0 - z)
-    dr_pre = dn_pre * hn * r * (1.0 - r)
-    dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-    dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
-    dh_partial = a * z  # h also feeds gh; that term is added via dgh @ Whh^T
-    return dgi, dgh, dh_partial
-
-
-# ---------------------------------------------------------------------------
 # Phase 1: sequential cotangent-chain kernel
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: int):
-    (gp_ref, gi_ref, pprev_ref, hprev_ref, ghfin_ref, gpfin_ref) = refs[:6]
+    (gp_ref, hprev_ref, gates_ref, ypre_ref, ghfin_ref, gpfin_ref) = refs[:6]
     w_refs = refs[6 : 6 + n_weights]
     dhin_ref, dpose_ref, dh0_ref, dprev0_ref = refs[6 + n_weights : 10 + n_weights]
     dh_scr, dprev_scr = refs[10 + n_weights :]
@@ -106,10 +67,6 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
             return w_ref_map[name][...]
 
     weights = _LazyWeights()
-    # operands ride the weight's dtype (bf16 kernels in bfloat16 configs —
-    # one MXU pass); accumulation is always f32, and the dh/dprev chains
-    # live in f32 scratch
-    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
     dot_t = lambda a, b: jax.lax.dot_general(  # a @ b.T
         a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -129,15 +86,15 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
 
         @pl.when((n_blocks - 1 - i) * tb + t < t_total)
         def _():
-            gi0 = gi_ref[t].astype(jnp.float32) + dot(
-                pprev_ref[t], weights["ih0_pose.kernel"]
+            acts = acts_from_saved(
+                [gates_ref[t, l] for l in range(layers)],
+                [hprev_ref[t, l] for l in range(layers)], hidden,
             )
-            hprev_layers = [hprev_ref[t, l] for l in range(layers)]
-            acts, y_pre, y, h_top = _recompute_step(gi0, hprev_layers, weights, cfg, dot)
 
             dpose_total = gp_ref[t] + dprev_scr[...]
             dpose_ref[t] = dpose_total
 
+            y_pre = ypre_ref[t]
             dy = dot_t(dpose_total, weights["head_out.kernel"]) * (
                 y_pre > 0.0
             ).astype(jnp.float32)
@@ -171,11 +128,11 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
 
 
 def _chain_backward(
-    g_poses_tm, g_hfin, g_pfin, gi_tm, pprev, hprev, weights, cfg, tb, t, interpret
+    g_poses_tm, g_hfin, g_pfin, hprev, gates, ypre, weights, cfg, tb, t, interpret
 ):
     """Run phase 1. All sequence args time-major and padded to t_pad."""
-    t_pad = gi_tm.shape[0]
-    b = gi_tm.shape[1]
+    t_pad = hprev.shape[0]
+    b = hprev.shape[2]
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
     n_blocks = t_pad // tb
     names = weight_names(cfg)
@@ -192,9 +149,11 @@ def _chain_backward(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tb, b, p_dim), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, p_dim), rev((0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, 4 * hidden), rev((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, cfg.head_hidden), rev((0, 0)),
+                         memory_space=pltpu.VMEM),
             const((layers, b, hidden)),
             const((b, p_dim)),
         ] + [const(w.shape) for w in weights],
@@ -215,7 +174,8 @@ def _chain_backward(
             pltpu.VMEM((b, p_dim), jnp.float32),
         ],
         interpret=interpret,
-    )(g_poses_tm, gi_tm, pprev, hprev, g_hfin, g_pfin, *weights)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(g_poses_tm, hprev, gates, ypre, g_hfin, g_pfin, *weights)
     return dh_in[:t], dpose[:t], dh0, dprev0
 
 
@@ -223,22 +183,19 @@ def _chain_backward(
 # Phase 2: batched weight gradients + dgi_static (pure XLA)
 # ---------------------------------------------------------------------------
 
-def _weight_grads(dh_in, dpose, gi_tm, pprev, hprev, weights_dict, cfg):
-    """All remaining gradients as [T*B]-panel matmuls.
+def _weight_grads(dh_in, dpose, pprev, hprev, gates, ypre, weights_dict, cfg):
+    """All remaining gradients as [T*B]-panel matmuls from saved streams.
 
     ``weights_dict`` values carry their matmul dtype (bf16 kernels for
-    bfloat16 configs — see fused_generator.cast_weights); every panel
-    matmul casts its operands to that dtype and accumulates in f32, the
-    same mixed-precision contract as the kernels."""
-    t, _, b, hidden = dh_in.shape
+    bfloat16 configs — fused_generator.cast_weights); every panel matmul
+    casts its operands to that dtype and accumulates in f32."""
     layers = cfg.rnn_layers
-    dot = lambda a, c: jnp.dot(a.astype(c.dtype), c, preferred_element_type=jnp.float32)
-
-    gi0 = gi_tm.astype(jnp.float32) + dot(pprev, weights_dict["ih0_pose.kernel"])
-    hprev_layers = [hprev[:, l] for l in range(layers)]
-    acts, y_pre, y, h_top = _recompute_step(
-        gi0, hprev_layers, weights_dict, cfg, dot
+    acts = acts_from_saved(
+        [gates[:, l] for l in range(layers)],
+        [hprev[:, l] for l in range(layers)], cfg.hidden_dim,
     )
+    y = jax.nn.relu(ypre)
+    h_top = acts[-1]["h_new"]
 
     def panel(x):  # [T, B, D] -> [T*B, D]
         return x.reshape(-1, x.shape[-1])
@@ -254,7 +211,7 @@ def _weight_grads(dh_in, dpose, gi_tm, pprev, hprev, weights_dict, cfg):
     dout = dpose
     grads["head_out.kernel"] = grad_mm(y, dout, wd["head_out.kernel"])
     grads["head_out.bias"] = jnp.sum(panel(dout), axis=0)
-    dy = (dout @ wd["head_out.kernel"].astype(jnp.float32).T) * (y_pre > 0.0)
+    dy = (dout @ wd["head_out.kernel"].astype(jnp.float32).T) * (ypre > 0.0)
     grads["head_fc.kernel"] = grad_mm(h_top, dy, wd["head_fc.kernel"])
     grads["head_fc.bias"] = jnp.sum(panel(dy), axis=0)
 
@@ -299,15 +256,16 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
         return poses, h_fin, p_fin
 
     def fwd(gi_static, h0, prev0, weights):
-        poses, hprev, pprev, h_fin, p_fin = fused_generator_forward(
-            gi_static, h0, prev0, weights, cfg, tb=tb, interpret=interpret
+        poses, hprev, pprev, h_fin, p_fin, gates, ypre = fused_generator_forward(
+            gi_static, h0, prev0, weights, cfg, tb=tb, interpret=interpret,
+            save_acts=True,
         )
-        return (poses, h_fin, p_fin), (gi_static, hprev, pprev, weights)
+        return (poses, h_fin, p_fin), (hprev, pprev, gates, ypre, weights)
 
     def bwd(res, cots):
-        gi_static, hprev, pprev, weights = res
+        hprev, pprev, gates, ypre, weights = res
         g_poses, g_hfin, g_pfin = cots
-        b, t, _ = gi_static.shape
+        t = hprev.shape[0]
         t_pad = _round_up(t, tb)
 
         weights2d = cast_weights(
@@ -319,23 +277,20 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
         def pad_tm(x):
             return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
 
-        gi_tm = pad_tm(jnp.swapaxes(gi_static, 0, 1))
         gp_tm = pad_tm(jnp.swapaxes(g_poses, 0, 1))
-        hprev_p = pad_tm(hprev)
-        pprev_p = pad_tm(pprev)
 
         dh_in, dpose, dh0, dprev0 = _chain_backward(
-            gp_tm, g_hfin, g_pfin, gi_tm, pprev_p, hprev_p,
+            gp_tm, g_hfin, g_pfin, pad_tm(hprev), pad_tm(gates), pad_tm(ypre),
             weights2d, cfg, tb, t, interpret,
         )
         grads, dgi_static_tm = _weight_grads(
-            dh_in, dpose, gi_tm[:t], pprev, hprev, wd, cfg
+            dh_in, dpose, pprev, hprev, gates, ypre, wd, cfg
         )
         dweights = tuple(
             grads[n].reshape(w.shape).astype(w.dtype) for n, w in zip(names, weights)
         )
         # cotangent dtype must match the primal (bf16 gi_static in bf16 configs)
-        dgi_static = jnp.swapaxes(dgi_static_tm, 0, 1).astype(gi_static.dtype)
+        dgi_static = jnp.swapaxes(dgi_static_tm, 0, 1).astype(compute_dtype(cfg))
         return dgi_static, dh0, dprev0, dweights
 
     scan_fn.defvjp(fwd, bwd)

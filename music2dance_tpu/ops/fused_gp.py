@@ -20,11 +20,17 @@ Exposed op (``make_scan_input_grad``):
     * wrt gi:   ∂_ε ∇_gi Φ — tangent of the cotangent chain,
     * wrt θ:    ∂_ε ∇_θ Φ — tangent weight gradients,
     * wrt gcot: JVP of htop along u (Φ is linear in gcot).
-  Two new kernels compute the sequential parts: K3 ``_tan_fwd_kernel``
+  Two kernels compute the sequential parts: K3 ``_tan_fwd_kernel``
   (forward tangent chain ḣ) and K4 ``_tan_cot_kernel`` (reverse tangent
   cotangent chain ȧ, reading K2's saved a_in instead of re-chaining).
   Everything else — tangent gate algebra over [T*B] panels, weight-grad
   matmuls — is batched XLA (the generator-VJP two-phase pattern).
+
+Save-don't-recompute: K1 saves the gate streams [r|z|n|hn] and K3 saves
+the tangent gate streams [ṙ|ż|ṅ|ġh_n], so K2/K4 and every XLA panel run
+with NO forward recompute matmul — per step only the unavoidable chain
+transposes remain. The streams DMA-pipeline with compute; the removed
+matmuls were the cost.
 
 The caller (train/step.py) builds the WGAN-GP as
 
@@ -52,10 +58,8 @@ from ..models.configs import DiscriminatorConfig
 from .fused_generator import _round_up
 from .fused_generator_vjp import _gate_cotangents
 from .fused_critic import (
-    _gru_gates,
-    _recompute_core,
-    _wdict,
-    _dot_cast,
+    _pack_gates,
+    acts_from_saved,
     cast_critic_weights,
     critic_compute_dtype,
     critic_cotangent_chain,
@@ -70,18 +74,38 @@ from .fused_critic import (
 # Shared tangent-step algebra (traced into K3/K4 and into the XLA panels)
 # ---------------------------------------------------------------------------
 
-def _tangent_step(x, xd, h, hd, gh, ghd, hidden):
-    """JVP of one GRU step. Returns (r, z, n, hn, rd, zd, nd, ghd_n,
-    h_new, hd_new)."""
-    r, z, n, hn = _gru_gates(x, gh, hidden)
+def _tangent_gates(act, xd, ghd, hidden):
+    """JVP of the gate nonlinearities given primal gates (saved) and the
+    input/hidden-side pre-activation tangents. Returns (rd, zd, nd, ghd_n)."""
+    r, z, n, hn = act["r"], act["z"], act["n"], act["hn"]
     xd_r, xd_z, xd_n = xd[..., :hidden], xd[..., hidden:2 * hidden], xd[..., 2 * hidden:]
     ghd_r, ghd_z, ghd_n = ghd[..., :hidden], ghd[..., hidden:2 * hidden], ghd[..., 2 * hidden:]
     rd = r * (1.0 - r) * (xd_r + ghd_r)
     zd = z * (1.0 - z) * (xd_z + ghd_z)
     nd = (1.0 - n * n) * (xd_n + rd * hn + r * ghd_n)
-    h_new = (1.0 - z) * n + z * h
-    hd_new = -zd * n + (1.0 - z) * nd + zd * h + z * hd
-    return r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new
+    return rd, zd, nd, ghd_n
+
+
+def _hd_new(act, tan):
+    """Tangent of h_new = (1-z)n + z·h, elementwise from saved streams."""
+    return (-tan["zd"] * act["n"] + (1.0 - act["z"]) * tan["nd"]
+            + tan["zd"] * act["h"] + act["z"] * tan["hd"])
+
+
+def tans_from_saved(tgates, hdot_layers, cfg):
+    """Per-layer tangent dicts {hd, rd, zd, nd, ghd_n} from K3's streams."""
+    hd_dim = cfg.hidden_dim
+    tans = []
+    for l in range(len(tgates)):
+        g = tgates[l].astype(jnp.float32)
+        tans.append({
+            "hd": hdot_layers[l],
+            "rd": g[..., :hd_dim],
+            "zd": g[..., hd_dim:2 * hd_dim],
+            "nd": g[..., 2 * hd_dim:3 * hd_dim],
+            "ghd_n": g[..., 3 * hd_dim:],
+        })
+    return tans
 
 
 def _tangent_cotangents(a, adot, act, tan):
@@ -89,9 +113,8 @@ def _tangent_cotangents(a, adot, act, tan):
 
     Primal (see fused_generator_vjp._gate_cotangents):
       dn = a(1-z)(1-n²); dz = a(h-n)z(1-z); dr = dn·hn·r(1-r)
-    ``act`` = {h, hn, r, z, n}; ``tan`` = {hd, rd, zd, nd, ghd_n}.
-    Returns (dgi_d, dgh_d, dh_chain_d_partial) where the chain partial is
-    ȧ·z + a·ż (the dgh_d @ Wᵀ term is added by the caller)."""
+    Returns (dgi_d, dgh_d, chain_part) where chain_part = ȧ·z + a·ż
+    (the dgh_d @ Wᵀ term is added by the caller)."""
     h, hn, r, z, n = act["h"], act["hn"], act["r"], act["z"], act["n"]
     hd, rd, zd, nd, ghd_n = tan["hd"], tan["rd"], tan["zd"], tan["nd"], tan["ghd_n"]
     dn = a * (1.0 - z) * (1.0 - n * n)
@@ -106,44 +129,16 @@ def _tangent_cotangents(a, adot, act, tan):
     return dgi_d, dgh_d, adot * z + a * zd
 
 
-def _tangent_recompute(gi0, u0, hprev_layers, hdot_layers, weights, cfg, dot):
-    """Forward primal + tangent recompute for one step (panels work too).
-
-    Tangent seeds: ġi = u0, θ̇ = 0, ḣ = hdot_layers (from K3's stream).
-    Returns per-layer dicts with both primal act fields and tangents."""
-    hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    out = []
-    x, xd = gi0, u0
-    for l in range(layers):
-        h, hd = hprev_layers[l], hdot_layers[l]
-        w = weights[f"cell_l{l}.hh.kernel"]
-        gh = dot(h, w) + weights[f"cell_l{l}.hh.bias"]
-        ghd = dot(hd, w)
-        r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new = _tangent_step(
-            x, xd, h, hd, gh, ghd, hidden
-        )
-        out.append({
-            "h": h, "x": x, "hn": hn, "r": r, "z": z, "n": n, "h_new": h_new,
-            "hd": hd, "rd": rd, "zd": zd, "nd": nd, "ghd_n": ghd_n,
-            "hd_new": hd_new,
-        })
-        if l + 1 < layers:
-            u_w = weights[f"ih_l{l + 1}.kernel"]
-            x = dot(h_new, u_w) + weights[f"ih_l{l + 1}.bias"]
-            xd = dot(hd_new, u_w)
-    return out
-
-
 # ---------------------------------------------------------------------------
-# K3: forward tangent chain kernel  (ḣ streams given ġi = u)
+# K3: forward tangent chain kernel (ḣ + tangent gate streams given ġi = u)
 # ---------------------------------------------------------------------------
 
 def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
                     n_weights: int):
-    (gi_ref, u_ref, hprev_ref) = refs[:3]
+    (u_ref, hprev_ref, gates_ref) = refs[:3]
     w_refs = refs[3 : 3 + n_weights]
-    hdotprev_ref, hdottop_ref = refs[3 + n_weights : 5 + n_weights]
-    (hdot_scr,) = refs[5 + n_weights :]
+    hdotprev_ref, tgates_ref, hdottop_ref = refs[3 + n_weights : 6 + n_weights]
+    (hdot_scr,) = refs[6 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
@@ -156,28 +151,24 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     def step(t, _):
         @pl.when(i * tb + t < t_total)
         def _():
-            x = gi_ref[t].astype(jnp.float32)
             xd = u_ref[t]
             hd_new = None
             for l in range(layers):
-                h = hprev_ref[t, l]
+                acts = acts_from_saved([gates_ref[t, l]], [hprev_ref[t, l]], cfg)
+                act = acts[0]
                 hd = hdot_scr[l]
                 hdotprev_ref[t, l] = hd
                 w = weights_map[f"cell_l{l}.hh.kernel"][...]
-                gh = jnp.dot(h.astype(w.dtype), w,
-                             preferred_element_type=jnp.float32) \
-                    + weights_map[f"cell_l{l}.hh.bias"][...]
                 ghd = jnp.dot(hd.astype(w.dtype), w,
                               preferred_element_type=jnp.float32)
-                (r, z, n, hn, rd, zd, nd, ghd_n, h_new, hd_new) = _tangent_step(
-                    x, xd, h, hd, gh, ghd, hidden
+                rd, zd, nd, ghd_n = _tangent_gates(act, xd, ghd, hidden)
+                tgates_ref[t, l] = _pack_gates(rd, zd, nd, ghd_n).astype(
+                    tgates_ref.dtype
                 )
+                hd_new = _hd_new(act, {"hd": hd, "rd": rd, "zd": zd, "nd": nd})
                 hdot_scr[l] = hd_new
                 if l + 1 < layers:
                     u_w = weights_map[f"ih_l{l + 1}.kernel"][...]
-                    x = jnp.dot(h_new.astype(u_w.dtype), u_w,
-                                preferred_element_type=jnp.float32) \
-                        + weights_map[f"ih_l{l + 1}.bias"][...]
                     xd = jnp.dot(hd_new.astype(u_w.dtype), u_w,
                                  preferred_element_type=jnp.float32)
             hdottop_ref[t] = hd_new
@@ -187,11 +178,12 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     jax.lax.fori_loop(0, tb, step, 0)
 
 
-def tangent_forward(u_tm, gi_tm, hprev, weights, cfg, tb=8, interpret=None):
-    """Returns (hdotprev [T,L,B,H], hdottop [T,B,H]) for tangent ġi=u."""
+def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
+    """Returns (hdotprev [T,L,B,H], tgates [T,L,B,4H], hdottop [T,B,H])
+    for the input tangent ġi = u."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t, b, _ = gi_tm.shape
+    t, b, _ = u_tm.shape
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     t_pad = _round_up(t, tb)
     n_blocks = t_pad // tb
@@ -206,28 +198,34 @@ def tangent_forward(u_tm, gi_tm, hprev, weights, cfg, tb=8, interpret=None):
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     blk = lambda tail: (lambda i: (i,) + tail)
-    hdotprev, hdottop = pl.pallas_call(
+    hdotprev, tgates, hdottop = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, 4 * hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ] + [const(x.shape) for x in w],
         out_specs=[
             pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, layers, b, 4 * hidden), blk((0, 0, 0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, b, hidden), blk((0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden),
+                                 critic_compute_dtype(cfg)),
             jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
-    )(pad_tm(gi_tm.astype(critic_compute_dtype(cfg))), pad_tm(u_tm), pad_tm(hprev), *w)
-    return hdotprev[:t], hdottop[:t]
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(pad_tm(u_tm), pad_tm(hprev), pad_tm(gates), *w)
+    return hdotprev[:t], tgates[:t], hdottop[:t]
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +234,7 @@ def tangent_forward(u_tm, gi_tm, hprev, weights, cfg, tb=8, interpret=None):
 
 def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
                     n_weights: int):
-    (gi_ref, u_ref, hprev_ref, hdotprev_ref, ain_ref) = refs[:5]
+    (hprev_ref, hdotprev_ref, gates_ref, tgates_ref, ain_ref) = refs[:5]
     w_refs = refs[5 : 5 + n_weights]
     (adot_ref,) = refs[5 + n_weights : 6 + n_weights]
     (dhdot_scr,) = refs[6 + n_weights :]
@@ -249,7 +247,6 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
             return weights_map[name][...]
 
     weights = _Lazy()
-    dot = lambda a, b: jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
     dot_t = lambda a, b: jax.lax.dot_general(
         a.astype(b.dtype), b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -267,21 +264,14 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
 
         @pl.when((n_blocks - 1 - i) * tb + t < t_total)
         def _():
-            gi0 = gi_ref[t].astype(jnp.float32)
-            u0 = u_ref[t]
-            hprev_layers = [hprev_ref[t, l] for l in range(layers)]
-            hdot_layers = [hdotprev_ref[t, l] for l in range(layers)]
-            acts = _tangent_recompute(gi0, u0, hprev_layers, hdot_layers,
-                                      weights, cfg, dot)
-
-            dabove_dot = jnp.zeros_like(hdot_layers[0])  # ġcot = 0
+            dabove_dot = jnp.zeros_like(hdotprev_ref[t, 0])  # ġcot = 0
             for l in range(layers - 1, -1, -1):
+                act = acts_from_saved([gates_ref[t, l]], [hprev_ref[t, l]], cfg)[0]
+                tan = tans_from_saved([tgates_ref[t, l]], [hdotprev_ref[t, l]], cfg)[0]
                 a = ain_ref[t, l]
                 adot = dhdot_scr[l] + dabove_dot
                 adot_ref[t, l] = adot
-                dgi_d, dgh_d, chain_part = _tangent_cotangents(
-                    a, adot, acts[l], acts[l]
-                )
+                dgi_d, dgh_d, chain_part = _tangent_cotangents(a, adot, act, tan)
                 dhdot_scr[l] = chain_part + dot_t(
                     dgh_d, weights[f"cell_l{l}.hh.kernel"]
                 )
@@ -293,12 +283,13 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     jax.lax.fori_loop(0, tb, step, 0)
 
 
-def tangent_cotangent_chain(u_tm, gi_tm, hprev, hdotprev, a_in, weights, cfg,
+def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
                             tb=8, interpret=None):
     """Returns adot_in [T,L,B,H]: tangents of the incoming hidden cotangents."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t, b, _ = gi_tm.shape
+    t = a_in.shape[0]
+    b = a_in.shape[2]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     t_pad = _round_up(t, tb)
     n_blocks = t_pad // tb
@@ -313,30 +304,29 @@ def tangent_cotangent_chain(u_tm, gi_tm, hprev, hdotprev, a_in, weights, cfg,
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     rev = lambda tail: (lambda i: (n_blocks - 1 - i,) + tail)
+    l4 = (tb, layers, b, 4 * hidden)
+    l1 = (tb, layers, b, hidden)
     (adot_in,) = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, 3 * hidden), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(l4, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(l4, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
         ] + [const(x.shape) for x in w],
         out_specs=[
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
-    )(pad_tm(gi_tm.astype(critic_compute_dtype(cfg))), pad_tm(u_tm),
-      pad_tm(hprev), pad_tm(hdotprev), pad_tm(a_in), *w)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(pad_tm(hprev), pad_tm(hdotprev), pad_tm(gates), pad_tm(tgates),
+      pad_tm(a_in), *w)
     return adot_in[:t]
 
 
@@ -344,17 +334,22 @@ def tangent_cotangent_chain(u_tm, gi_tm, hprev, hdotprev, a_in, weights, cfg,
 # Phase 2 (XLA): tangent weight grads + tangent input grads from the chains
 # ---------------------------------------------------------------------------
 
-def tangent_panel_grads(a_in, adot_in, u_tm, gi_tm, hprev, hdotprev, weights, cfg):
-    """Assemble ∂_ε ∇_θ Φ and ∂_ε ∇_gi Φ over [T*B] panels.
+def tangent_panel_grads(a_in, adot_in, gates, tgates, hprev, hdotprev,
+                        weights, cfg):
+    """Assemble ∂_ε ∇_θ Φ and ∂_ε ∇_gi Φ over [T*B] panels — everything is
+    local per step given the saved streams; no matmul recompute.
 
     Returns (dweights dict keyed by critic_weight_names, dgi_d [T,B,3H])."""
     layers = cfg.rnn_layers
-    wd = _wdict(weights, cfg)
-    acts = _tangent_recompute(
-        gi_tm.astype(jnp.float32), u_tm,
-        [hprev[:, l] for l in range(layers)],
-        [hdotprev[:, l] for l in range(layers)],
-        wd, cfg, _dot_cast,
+    names = critic_weight_names(cfg)
+    wd = dict(zip(names, cast_critic_weights(weights, cfg)))
+    acts = acts_from_saved(
+        [gates[:, l] for l in range(layers)],
+        [hprev[:, l] for l in range(layers)], cfg,
+    )
+    tans = tans_from_saved(
+        [tgates[:, l] for l in range(layers)],
+        [hdotprev[:, l] for l in range(layers)], cfg,
     )
 
     def panel(x):
@@ -371,15 +366,15 @@ def tangent_panel_grads(a_in, adot_in, u_tm, gi_tm, hprev, hdotprev, weights, cf
     for l in range(layers - 1, -1, -1):
         a, adot = a_in[:, l], adot_in[:, l]
         dgi, dgh, _ = _gate_cotangents(a, acts[l])
-        dgi_d, dgh_d, _ = _tangent_cotangents(a, adot, acts[l], acts[l])
+        dgi_d, dgh_d, _ = _tangent_cotangents(a, adot, acts[l], tans[l])
         wk = wd[f"cell_l{l}.hh.kernel"]
         grads[f"cell_l{l}.hh.kernel"] = grad_mm(acts[l]["h"], dgh_d, wk) \
-            + grad_mm(acts[l]["hd"], dgh, wk)
+            + grad_mm(tans[l]["hd"], dgh, wk)
         grads[f"cell_l{l}.hh.bias"] = jnp.sum(panel(dgh_d), axis=0)
         if l > 0:
             uk = wd[f"ih_l{l}.kernel"]
             grads[f"ih_l{l}.kernel"] = grad_mm(acts[l - 1]["h_new"], dgi_d, uk) \
-                + grad_mm(acts[l - 1]["hd_new"], dgi, uk)
+                + grad_mm(_hd_new(acts[l - 1], tans[l - 1]), dgi, uk)
             grads[f"ih_l{l}.bias"] = jnp.sum(panel(dgi_d), axis=0)
         else:
             dgi0_d = dgi_d
@@ -387,7 +382,7 @@ def tangent_panel_grads(a_in, adot_in, u_tm, gi_tm, hprev, hdotprev, weights, cf
 
 
 # ---------------------------------------------------------------------------
-# The public op with its hand-derived second-order VJP
+# Public: fused gradient penalty + the op with its second-order VJP
 # ---------------------------------------------------------------------------
 
 def fused_gradient_penalty(d_params, cfg: DiscriminatorConfig, x_hat, feats,
@@ -432,45 +427,45 @@ def make_scan_input_grad(cfg: DiscriminatorConfig, tb: int = 8,
         raise ValueError("config not supported by the fused critic kernels")
 
     def _forward_parts(gi_tm, gcot_tm, weights):
-        t, b, _ = gi_tm.shape
+        b = gi_tm.shape[1]
         h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
-        _htop, hprev, _hfin = critic_scan_forward(
+        _htop, hprev, gates, _hfin = critic_scan_forward(
             gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
         )
         a_in, _dh0 = critic_cotangent_chain(
-            gcot_tm, jnp.zeros_like(h0), gi_tm, hprev, weights, cfg,
+            gcot_tm, jnp.zeros_like(h0), hprev, gates, weights, cfg,
             tb=tb, interpret=interpret,
         )
-        dgi = input_grad_from_chain(a_in, gi_tm, hprev, weights, cfg)
-        return dgi, hprev, a_in
+        dgi = input_grad_from_chain(a_in, gates, hprev, cfg)
+        return dgi, hprev, gates, a_in
 
     @jax.custom_vjp
     def input_grad(gi_tm, gcot_tm, weights):
         return _forward_parts(gi_tm, gcot_tm, weights)[0]
 
     def fwd(gi_tm, gcot_tm, weights):
-        dgi, hprev, a_in = _forward_parts(gi_tm, gcot_tm, weights)
-        return dgi, (gi_tm, hprev, a_in, weights)
+        dgi, hprev, gates, a_in = _forward_parts(gi_tm, gcot_tm, weights)
+        return dgi, (hprev, gates, a_in, weights)
 
     def bwd(res, u):
-        gi_tm, hprev, a_in, weights = res
+        hprev, gates, a_in, weights = res
         u = u.astype(jnp.float32)
-        hdotprev, hdottop = tangent_forward(
-            u, gi_tm, hprev, weights, cfg, tb=tb, interpret=interpret
+        hdotprev, tgates, hdottop = tangent_forward(
+            u, hprev, gates, weights, cfg, tb=tb, interpret=interpret
         )
         adot_in = tangent_cotangent_chain(
-            u, gi_tm, hprev, hdotprev, a_in, weights, cfg,
+            hprev, hdotprev, gates, tgates, a_in, weights, cfg,
             tb=tb, interpret=interpret,
         )
         grads, dgi_d = tangent_panel_grads(
-            a_in, adot_in, u, gi_tm, hprev, hdotprev, weights, cfg
+            a_in, adot_in, gates, tgates, hprev, hdotprev, weights, cfg
         )
         names = critic_weight_names(cfg)
         dweights = tuple(
             grads[n].reshape(w.shape).astype(w.dtype)
             for n, w in zip(names, weights)
         )
-        return dgi_d.astype(gi_tm.dtype), hdottop, dweights
+        return dgi_d.astype(critic_compute_dtype(cfg)), hdottop, dweights
 
     input_grad.defvjp(fwd, bwd)
     return input_grad
