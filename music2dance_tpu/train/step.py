@@ -26,7 +26,7 @@ import optax
 
 from ..models import Discriminator, Generator, GANConfig
 from .config import TrainConfig
-from .losses import critic_loss, generator_loss, gradient_penalty
+from .losses import critic_loss, generator_loss
 
 
 @flax.struct.dataclass
@@ -113,9 +113,10 @@ def make_train_step(
         idx = start + jnp.arange(local_b)
         return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
 
-    # Pallas kernel paths. Generator: fused scan for the critic-phase fake
-    # batch (forward-only) and the custom two-phase VJP in the generator
-    # phase. Critic: fused first-order scan for real/fake scores and the
+    # Pallas kernel paths. Generator: ALL of the step's fake batches
+    # (n_critic forward-only + 1 differentiable) ride ONE dual fused scan
+    # (ops/fused_gdual.py) when supported, falling back to per-phase fused
+    # scans. Critic: fused first-order scan for real/fake scores and the
     # hand-derived second-order input-grad op for the gradient penalty —
     # no XLA scan remains anywhere in the step (run_phases.py measured the
     # four XLA critic scan passes at 11.1 of the 14 ms full-preset step).
@@ -124,14 +125,17 @@ def make_train_step(
 
     if fused is None:
         on_tpu = jax.default_backend() == "tpu"
+        gen_interpret = not on_tpu
         fused_gen_ok = on_tpu and supports_fused(gan.generator, interpret=False)
         fused_critic_ok = on_tpu and supports_fused_critic(
             gan.discriminator, interpret=False
         )
     elif fused:
+        gen_interpret = True
         fused_gen_ok = supports_fused(gan.generator, interpret=True)
         fused_critic_ok = supports_fused_critic(gan.discriminator, interpret=True)
     else:
+        gen_interpret = True
         fused_gen_ok = fused_critic_ok = False
 
     def sample_z(key, b, dtype):
@@ -159,30 +163,24 @@ def make_train_step(
             )
         return disc_apply(d_params, poses, feats)
 
-    def fused_gp(d_params, x_hat, feats):
-        """WGAN-GP via the fused second-order op (ops/fused_gp.py): the
-        outer jax.grad only ever differentiates XLA ops and the op's
-        hand-derived custom VJP."""
-        from ..ops.fused_gp import fused_gradient_penalty
-
-        return fused_gradient_penalty(
-            d_params, gan.discriminator, x_hat, feats if cond else None
-        )
-
-    def d_loss_fn(d_params, g_params, batch, key):
-        """Critic loss. Fused path: one fused scan over [real; fake] for
-        the scores, the second-order kernel op for the penalty. XLA path:
-        ONE batched critic pass over [real; fake; x_hat] — the recurrent
-        critic is iteration-latency-bound, so the forward, the GP's inner
-        input-gradient (jax.vjp with a selection cotangent), and the outer
-        parameter gradient all ride a single batched scan (per-sample
-        independence makes this identical to separate passes)."""
+    def d_loss_fn(d_params, g_params, batch, key, fake=None):
+        """Critic loss. Fused path: the whole critic-phase core — real and
+        fake scores AND the GP's second-order path — as ONE merged op
+        (ops/fused_dcore.py): a single hoisted conv stack and a single
+        forward scan kernel at 3B rows (the sequential kernels are
+        per-timestep latency bound, so 3B rows cost what B rows cost).
+        XLA path: ONE batched critic pass over [real; fake; x_hat] — the
+        forward, the GP's inner input-gradient (jax.vjp with a selection
+        cotangent), and the outer parameter gradient all ride a single
+        batched scan (per-sample independence makes this identical to
+        separate passes)."""
         feats, real = batch["feats"], batch["poses"]
         b = real.shape[0]
         k_z, k_gp = jax.random.split(key)
-        fake = jax.lax.stop_gradient(
-            sample_fake(g_params, feats, k_z, forward_only=True)
-        )
+        if fake is None:
+            fake = jax.lax.stop_gradient(
+                sample_fake(g_params, feats, k_z, forward_only=True)
+            )
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), real.dtype))(
             per_example_keys(k_gp, b)
         )
@@ -190,11 +188,12 @@ def make_train_step(
         x_hat = a * real + (1.0 - a) * fake
 
         if fused_critic_ok:
-            x_rf = jnp.concatenate([real, fake], axis=0)
-            f_rf = jnp.concatenate([feats] * 2, axis=0)
-            scores = critic_scores(d_params, x_rf, f_rf)
-            s_real, s_fake = scores[:b], scores[b:]
-            gp = fused_gp(d_params, x_hat, feats)
+            from ..ops.fused_dcore import fused_d_phase
+
+            s_real, s_fake, gp = fused_d_phase(
+                d_params, gan.discriminator, real, fake, x_hat,
+                feats if cond else None,
+            )
         else:
             x_all = jnp.concatenate([real, fake, x_hat], axis=0)
             f_all = jnp.concatenate([feats] * 3, axis=0)
@@ -239,22 +238,64 @@ def make_train_step(
         # per_example_keys via the global example index.
         next_rng, base = jax.random.split(jax.random.fold_in(state.rng, state.step))
 
+        feats = batch["feats"]
+        b = feats.shape[0]
+
+        # Dual generator pass: every fake of the step (n_critic forward-only
+        # + 1 differentiable) in one fused kernel — the D updates between
+        # phases never touch g_params, so the replicas are row-independent
+        # and per-row bit-identical to the per-phase calls. The noise draws
+        # reuse EXACTLY the keys the per-phase code derives below, so both
+        # paths sample the same z.
+        from ..ops.fused_gdual import fused_dual_apply, supports_dual
+
+        use_dual = fused_gen_ok and supports_dual(
+            gan.generator, tc.n_critic * b, interpret=gen_interpret
+        )
+        fakes_fwd, fake_g, pull_g = None, None, None
+        if use_dual:
+            zs_fwd = []
+            for i in range(tc.n_critic):
+                k_z, _ = jax.random.split(jax.random.fold_in(base, i))
+                zs_fwd.append(sample_z(k_z, b, feats.dtype))
+            z_g = sample_z(jax.random.fold_in(base, tc.n_critic), b, feats.dtype)
+            (fakes_fwd, fake_g), pull_g = jax.vjp(
+                lambda gp: fused_dual_apply(gp, gan.generator, feats, zs_fwd, z_g),
+                state.g_params,
+            )
+
         d_params, opt_d = state.d_params, state.opt_d
         metrics = {}
         for i in range(tc.n_critic):  # static unroll — n_critic is config
             k = jax.random.fold_in(base, i)
             (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                d_params, state.g_params, batch, k
+                d_params, state.g_params, batch, k,
+                fakes_fwd[i] if use_dual else None,
             )
             grads = pmean(grads)
             updates, opt_d = tx_d.update(grads, opt_d, d_params)
             d_params = optax.apply_updates(d_params, updates)
             metrics = aux  # keep last critic iteration's metrics
 
-        k = jax.random.fold_in(base, tc.n_critic)
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, d_params, batch, k
-        )
+        if use_dual:
+            # generator loss depends on g_params only through fake_g: take
+            # its gradient wrt the poses, then pull back through the dual
+            # scan's custom VJP (chain kernel at B rows — the fwd rows'
+            # zero cotangents are dead code to XLA)
+            def g_core(fake):
+                s_fake = critic_scores(d_params, fake, feats)
+                return generator_loss(s_fake, fake, tc.continuity_weight)
+
+            g_loss_val, dfake = jax.value_and_grad(g_core)(fake_g)
+            (g_grads,) = pull_g(
+                ([jnp.zeros_like(f) for f in fakes_fwd], dfake)
+            )
+            g_aux = {"g_loss": g_loss_val}
+        else:
+            k = jax.random.fold_in(base, tc.n_critic)
+            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params, d_params, batch, k
+            )
         g_grads = pmean(g_grads)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)

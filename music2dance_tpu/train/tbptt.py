@@ -74,7 +74,6 @@ def make_tbptt_machinery(
     from ..ops.fused_critic import fused_critic_apply, supports_fused_critic
     from ..ops.fused_generator import fused_apply, supports_fused
     from ..ops.fused_generator_vjp import fused_apply_diff
-    from ..ops.fused_gp import fused_gradient_penalty
 
     if fused is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -130,18 +129,27 @@ def make_tbptt_machinery(
         fake, g_d_new = gen_apply(g_params, wfeats, z, carries["g_d"], diff=False)
         fake = jax.lax.stop_gradient(fake)
         g_d_new = jax.lax.stop_gradient(g_d_new)
-        s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])
-        s_fake, d_fake_new = d_apply(d_params, fake, wfeats, carries["d_fake"])
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), wposes.dtype))(
             per_example_keys(k_gp, b)
         )
         a = alpha.reshape((b,) + (1,) * (wposes.ndim - 1))
         x_hat = a * wposes + (1.0 - a) * fake
         if fused_critic_ok:
-            gp = fused_gradient_penalty(
-                d_params, gan.discriminator, x_hat, wfeats if cond else None
+            # merged critic-phase core (ops/fused_dcore.py): real + fake
+            # scores and the second-order GP in one 3B-row pass; the
+            # real/fake stream carries chain across windows, the GP is
+            # scored from a fresh zero carry per window (see module doc)
+            from ..ops.fused_dcore import fused_d_phase
+
+            s_real, s_fake, gp, (d_real_new, d_fake_new) = fused_d_phase(
+                d_params, gan.discriminator, wposes, fake, x_hat,
+                wfeats if cond else None,
+                carries=(carries["d_real"], carries["d_fake"]),
+                return_carries=True,
             )
         else:
+            s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])
+            s_fake, d_fake_new = d_apply(d_params, fake, wfeats, carries["d_fake"])
             gp = gradient_penalty(
                 lambda p: disc.apply(d_params, p, wfeats if cond else None),
                 wposes, fake, alpha=alpha,

@@ -136,14 +136,24 @@ def test_tbptt_fused_equals_xla():
     _, step_fused = make_tbptt_machinery(GAN, tc, fused=True)
     sx, mx = jax.jit(step_xla)(state, batch)
     sf, mf = jax.jit(step_fused)(state, batch)
+    # metrics are means over 4 windows, each downstream of both adam
+    # updates of every earlier window — f32 reduction-order differences
+    # (the merged d-core sums weight grads as rf+hat where XLA's autodiff
+    # accumulates in graph order) compound across windows, so this
+    # cross-implementation check is looser than single-step ones
     for k in mx:
-        np.testing.assert_allclose(float(mf[k]), float(mx[k]), rtol=5e-4,
+        np.testing.assert_allclose(float(mf[k]), float(mx[k]), rtol=8e-3,
                                    atol=1e-5, err_msg=k)
+    # atol admits n_windows * lr of drift: score.bias has an analytically
+    # ZERO gradient (the +-1/B cotangents cancel), so f32 reduction-order
+    # residue (~1e-7) differs between implementations and adam normalizes
+    # whatever sign it gets to a full lr-sized step per window (same
+    # effect as the DP bias-gradient sign flips, tests/test_dp.py)
     for (pa, a), (_, b) in zip(
         jax.tree_util.tree_leaves_with_path((sx.g_params, sx.d_params)),
         jax.tree_util.tree_leaves_with_path((sf.g_params, sf.d_params)),
     ):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
