@@ -80,6 +80,36 @@ def main():
         songs=n_songs, song_seconds_max=api_seconds,
     )
 
+    # How much of the API path is the host->device link (this tunnel:
+    # ~50 MB/s): time the waveform transfer alone, then the API fed raw
+    # PCM16 (half the bytes, dequantized on device — the realistic input,
+    # WAV data IS int16; features bit-identical).
+    flat = np.concatenate(waves)
+    rows_bytes = flat.nbytes
+    t0 = time.perf_counter()
+    for _ in range(3):
+        force(jax.device_put(flat))
+    dt_x = time.perf_counter() - t0
+    emit(
+        "config5_api_waveform_transfer_only",
+        mb=round(rows_bytes / 1e6, 1),
+        mb_per_sec=round(3 * rows_bytes / 1e6 / dt_x, 1),
+    )
+
+    waves_i16 = [
+        (np.clip(w, -1, 1) * 32767.0).astype(np.int16) for w in waves
+    ]
+    out = model.generate_batch(waves_i16, seed=0)  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = model.generate_batch(waves_i16, seed=i)
+    dt = time.perf_counter() - t0
+    emit(
+        "config5_public_api_64_songs_pcm16",
+        frames_per_sec=round(3 * api_frames / dt, 1),
+        songs=n_songs, song_seconds_max=api_seconds,
+    )
+
 
 if __name__ == "__main__":
     main()

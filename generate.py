@@ -25,7 +25,7 @@ flags.mark_flag_as_required("ckpt")
 
 def main(argv):
     del argv
-    from music2dance_tpu.data.wav import load_wav
+    from music2dance_tpu.data.wav import load_wav, load_wav_pcm16
     from music2dance_tpu.infer import Music2DanceModel
 
     model = Music2DanceModel.from_checkpoint(FLAGS.ckpt)
@@ -35,8 +35,11 @@ def main(argv):
 
     if FLAGS.wav_dir:
         names = sorted(f for f in os.listdir(FLAGS.wav_dir) if f.endswith(".wav"))
+        # mono PCM16 files already at the model rate stay int16 end-to-end
+        # (half the host->device bytes; bit-identical features) — mixed
+        # batches fall back to f32 in pad_and_extract_batch
         waves = [
-            load_wav(os.path.join(FLAGS.wav_dir, n), target_sr=sr_model)[0]
+            load_wav_pcm16(os.path.join(FLAGS.wav_dir, n), target_sr=sr_model)[0]
             for n in names
         ]
         outs = model.generate_batch(waves, seed=FLAGS.seed)

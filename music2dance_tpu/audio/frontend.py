@@ -173,7 +173,16 @@ def extract_features_masked(
 
 @functools.lru_cache(maxsize=8)
 def _jit_masked(cfg: AudioConfig):
-    return jax.jit(functools.partial(extract_features_masked, cfg=cfg))
+    def run(rows, lens):
+        # PCM16 rows dequantize ON DEVICE: int16 -> f32 / 32768 is exact
+        # in float32, so this path is bit-identical to converting on host
+        # while the host->device transfer moves half the bytes (the link,
+        # not the kernels, bounds the public batch-inference API).
+        if rows.dtype == jnp.int16:
+            rows = rows.astype(jnp.float32) * (1.0 / 32768.0)
+        return extract_features_masked(rows, lens, cfg=cfg)
+
+    return jax.jit(run)
 
 
 def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
@@ -184,17 +193,34 @@ def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
     ``extract_features`` would — batching via zero padding alone corrupts
     each song's last frame (it reads the next song's zeros instead of the
     reflected tail). Returns (feats [B, T_max, F] on device, t_valid [B]).
+
+    When EVERY input array is int16 (raw PCM16 — data/wav.load_wav_pcm16),
+    the padded batch is shipped to the device as int16 and dequantized
+    there, halving the transfer; features are bit-identical to the f32
+    path (tests/test_audio_parity.py::test_pcm16_batch_path).
     """
     import dataclasses
 
     import numpy as np
 
+    all_i16 = len(waves) > 0 and all(
+        np.asarray(w).dtype == np.int16 for w in waves
+    )
+    host_dtype = np.int16 if all_i16 else np.float32
     p = cfg.n_fft // 2 if cfg.center else 0
     lens = np.array([len(w) for w in waves], np.int64)
     l_max = int(lens.max())
-    rows = np.zeros((len(waves), l_max + 2 * p), np.float32)
+    rows = np.zeros((len(waves), l_max + 2 * p), host_dtype)
     for i, w in enumerate(waves):
-        w = np.asarray(w, np.float32)
+        w = np.asarray(w)
+        if not all_i16:
+            # mixed batches fall back to f32: any int16 member must be
+            # dequantized on host (a bare cast would be 32768x too large)
+            w = (
+                w.astype(np.float32) / 32768.0
+                if w.dtype == np.int16
+                else np.asarray(w, np.float32)
+            )
         wp = np.pad(w, (p, p), mode=cfg.pad_mode) if p else w
         rows[i, : len(wp)] = wp
     # the per-song centering is already materialized -> extract center=False

@@ -149,6 +149,48 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
     return y, sr
 
 
+def load_wav_pcm16(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
+    """Like load_wav, but keep MONO PCM16 files already at ``target_sr``
+    as raw int16 samples (no host dequantization).
+
+    Feeding int16 arrays to the batch inference API ships them to the
+    device at half the bytes; the on-device dequant (x / 32768) is
+    bit-identical to the host conversion (audio/frontend.py
+    pad_and_extract_batch). Anything else — stereo, other encodings, or a
+    rate mismatch needing the resampler — falls back to the float32 path.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos, fmt = 12, None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                code = int.from_bytes(body[0:2], "little")
+                if code == 0xFFFE:
+                    cb = int.from_bytes(body[16:18], "little") if len(body) >= 18 else 0
+                    if cb >= 22 and len(body) >= 26:
+                        code = int.from_bytes(body[24:26], "little")
+                fmt = {
+                    "format": code,
+                    "channels": int.from_bytes(body[2:4], "little"),
+                    "sr": int.from_bytes(body[4:8], "little"),
+                    "bits": int.from_bytes(body[14:16], "little"),
+                }
+            elif tag == b"data" and fmt is not None:
+                pcm16_mono = (
+                    fmt["format"] == 1 and fmt["bits"] == 16 and fmt["channels"] == 1
+                )
+                rate_ok = target_sr is None or fmt["sr"] == target_sr
+                if pcm16_mono and rate_ok:
+                    return np.frombuffer(body, "<i2").copy(), fmt["sr"]
+                break
+            pos += 8 + size + (size & 1)
+    return load_wav(path, target_sr=target_sr)
+
+
 def save_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
     """Encode mono float32 samples as PCM16 (native if available)."""
     samples = np.ascontiguousarray(samples, np.float32)

@@ -36,7 +36,11 @@ class Music2DanceModel:
         return cls(gan, audio, state.g_params, seed=seed)
 
     def generate(self, waveform: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
-        """[L] waveform -> [T, n_joints, joint_dim] pose sequence."""
+        """[L] waveform (float, or raw PCM16 int16) -> [T, n_joints,
+        joint_dim] pose sequence."""
+        waveform = np.asarray(waveform)
+        if waveform.dtype == np.int16:
+            waveform = waveform.astype(np.float32) / 32768.0
         feats = extract_features(jnp.asarray(waveform, jnp.float32), self.audio)
         key = self._key if seed is None else jax.random.key(seed)
         poses = jit_decoder(self.gan.generator, masked=False)(
@@ -57,6 +61,10 @@ class Music2DanceModel:
         extraction — audio/frontend.pad_and_extract_batch) and one masked
         autoregressive decode. Round 1 extracted features per song,
         eagerly and unjitted (VERDICT weak #4).
+
+        Raw PCM16 input (all waveforms int16 — data/wav.load_wav_pcm16)
+        ships to the device at half the bytes and dequantizes there,
+        bit-identically; on link-bound hosts this path is ~2x.
         """
         from ..audio.frontend import pad_and_extract_batch
 

@@ -178,3 +178,27 @@ def test_masked_batch_extraction_matches_per_song(rng):
             err_msg=f"song {i}",
         )
         np.testing.assert_array_equal(feats[i, t_valid[i]:], 0.0)
+
+
+def test_pcm16_batch_path_bit_identical(rng):
+    """All-int16 batches ship as int16 and dequantize on device; the
+    features must be BIT-identical to the f32 host-dequantized path
+    (int16 -> f32 and /32768 are both exact). Mixed batches fall back to
+    f32 with correct host dequantization of the int16 members."""
+    from music2dance_tpu.audio.frontend import pad_and_extract_batch
+
+    cfg = FAST
+    f32_waves = [
+        np.round(make_wave(rng, s, cfg, "mix") * 32767.0) / 32768.0
+        for s in (0.8, 0.5)
+    ]
+    i16_waves = [(w * 32768.0).astype(np.int16) for w in f32_waves]
+
+    ref, t_ref = pad_and_extract_batch(f32_waves, cfg)
+    out, t_out = pad_and_extract_batch(i16_waves, cfg)
+    np.testing.assert_array_equal(np.asarray(t_out), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    mixed, t_mix = pad_and_extract_batch([i16_waves[0], f32_waves[1]], cfg)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(t_mix), np.asarray(t_ref))

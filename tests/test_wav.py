@@ -131,3 +131,36 @@ def test_bad_file_rejected(tmp_path):
         f.write(b"this is not a wav file at all........")
     with pytest.raises(ValueError):
         load_wav_numpy(path)
+
+
+def test_load_wav_pcm16_fast_path(tmp_path):
+    """Mono PCM16 at the target rate stays int16 (raw samples); stereo or
+    rate-mismatched files fall back to the float32 decode path."""
+    from music2dance_tpu.data.wav import load_wav_pcm16
+
+    sr = 8000
+    y = make_tone(sr)
+    path = str(tmp_path / "mono16.wav")
+    save_wav(path, y, sr)
+
+    raw, got_sr = load_wav_pcm16(path, target_sr=sr)
+    assert raw.dtype == np.int16 and got_sr == sr
+    ref, _ = load_wav(path)
+    np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, ref)
+
+    # no target_sr: also fast-pathed
+    raw2, _ = load_wav_pcm16(path)
+    np.testing.assert_array_equal(raw2, raw)
+
+    # rate mismatch -> resampled f32 fallback, same as load_wav
+    res, res_sr = load_wav_pcm16(path, target_sr=4000)
+    assert res.dtype == np.float32 and res_sr == 4000
+    ref_res, _ = load_wav(path, target_sr=4000)
+    np.testing.assert_array_equal(res, ref_res)
+
+    # stereo -> f32 mixdown fallback
+    spath = str(tmp_path / "stereo16.wav")
+    stereo = np.stack([y, -y], axis=1)
+    scipy.io.wavfile.write(spath, sr, (stereo * 32767).astype(np.int16))
+    sm, _ = load_wav_pcm16(spath, target_sr=sr)
+    assert sm.dtype == np.float32
