@@ -203,16 +203,14 @@ def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
 
     import numpy as np
 
-    all_i16 = len(waves) > 0 and all(
-        np.asarray(w).dtype == np.int16 for w in waves
-    )
+    waves = [np.asarray(w) for w in waves]  # materialize each input ONCE
+    all_i16 = len(waves) > 0 and all(w.dtype == np.int16 for w in waves)
     host_dtype = np.int16 if all_i16 else np.float32
     p = cfg.n_fft // 2 if cfg.center else 0
     lens = np.array([len(w) for w in waves], np.int64)
     l_max = int(lens.max())
     rows = np.zeros((len(waves), l_max + 2 * p), host_dtype)
     for i, w in enumerate(waves):
-        w = np.asarray(w)
         if not all_i16:
             # mixed batches fall back to f32: any int16 member must be
             # dequantized on host (a bare cast would be 32768x too large)

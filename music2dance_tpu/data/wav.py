@@ -78,32 +78,46 @@ def load_wav_native(path: str) -> tuple[np.ndarray, int]:
     return buf, sr.value
 
 
+def _walk_chunks(data: bytes):
+    """Yield (tag, body_offset, size) for each RIFF chunk in ``data``."""
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _parse_fmt(body: bytes) -> dict:
+    """Decode a fmt chunk body (shared by the numpy decoder and the
+    PCM16 fast path — one copy of the WAVE_FORMAT_EXTENSIBLE logic)."""
+    code = int.from_bytes(body[0:2], "little")
+    if code == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real code is the first two
+        # bytes of the SubFormat GUID (fmt extension offset 24);
+        # without a readable extension it stays 0xFFFE -> rejected.
+        cb = int.from_bytes(body[16:18], "little") if len(body) >= 18 else 0
+        if cb >= 22 and len(body) >= 26:
+            code = int.from_bytes(body[24:26], "little")
+    return {
+        "format": code,
+        "channels": int.from_bytes(body[2:4], "little"),
+        "sr": int.from_bytes(body[4:8], "little"),
+        "bits": int.from_bytes(body[14:16], "little"),
+    }
+
+
 def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
     """Pure-numpy RIFF parser, same semantics as the native decoder."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path!r} is not a RIFF/WAVE file")
-    pos, fmt = 12, None
-    while pos + 8 <= len(data):
-        tag = data[pos : pos + 4]
-        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
-        body = data[pos + 8 : pos + 8 + size]
+    fmt = None
+    for tag, off, size in _walk_chunks(data):
+        body = data[off : off + size]
         if tag == b"fmt ":
-            code = int.from_bytes(body[0:2], "little")
-            if code == 0xFFFE:
-                # WAVE_FORMAT_EXTENSIBLE: the real code is the first two
-                # bytes of the SubFormat GUID (fmt extension offset 24);
-                # without a readable extension it stays 0xFFFE -> rejected.
-                cb = int.from_bytes(body[16:18], "little") if len(body) >= 18 else 0
-                if cb >= 22 and len(body) >= 26:
-                    code = int.from_bytes(body[24:26], "little")
-            fmt = {
-                "format": code,
-                "channels": int.from_bytes(body[2:4], "little"),
-                "sr": int.from_bytes(body[4:8], "little"),
-                "bits": int.from_bytes(body[14:16], "little"),
-            }
+            fmt = _parse_fmt(body)
         elif tag == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -127,7 +141,6 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
             if ch > 1:
                 x = x.reshape(-1, ch).mean(axis=1)
             return x.astype(np.float32), fmt["sr"]
-        pos += 8 + size + (size & 1)
     raise ValueError(f"no data chunk in {path!r}")
 
 
@@ -158,36 +171,35 @@ def load_wav_pcm16(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarr
     bit-identical to the host conversion (audio/frontend.py
     pad_and_extract_batch). Anything else — stereo, other encodings, or a
     rate mismatch needing the resampler — falls back to the float32 path.
+
+    Only the header is read to make the decision (the fmt chunk sits in
+    the first bytes of any sane WAV); the full file is read once and only
+    on the fast path.
     """
+    sniff = 8192
     with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        pos, fmt = 12, None
-        while pos + 8 <= len(data):
-            tag = data[pos : pos + 4]
-            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
-            body = data[pos + 8 : pos + 8 + size]
-            if tag == b"fmt ":
-                code = int.from_bytes(body[0:2], "little")
-                if code == 0xFFFE:
-                    cb = int.from_bytes(body[16:18], "little") if len(body) >= 18 else 0
-                    if cb >= 22 and len(body) >= 26:
-                        code = int.from_bytes(body[24:26], "little")
-                fmt = {
-                    "format": code,
-                    "channels": int.from_bytes(body[2:4], "little"),
-                    "sr": int.from_bytes(body[4:8], "little"),
-                    "bits": int.from_bytes(body[14:16], "little"),
-                }
-            elif tag == b"data" and fmt is not None:
-                pcm16_mono = (
-                    fmt["format"] == 1 and fmt["bits"] == 16 and fmt["channels"] == 1
-                )
-                rate_ok = target_sr is None or fmt["sr"] == target_sr
-                if pcm16_mono and rate_ok:
+        data = f.read(sniff)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return load_wav(path, target_sr=target_sr)
+    for tag, off, size in _walk_chunks(data):
+        if tag == b"fmt " and off + size <= len(data):
+            fmt = _parse_fmt(data[off : off + size])
+            pcm16_mono = (
+                fmt["format"] == 1 and fmt["bits"] == 16 and fmt["channels"] == 1
+            )
+            if not pcm16_mono or (target_sr is not None and fmt["sr"] != target_sr):
+                break  # f32 path decides (decode / mixdown / resample)
+            # fast path: one sequential read of the whole file, then the
+            # data chunk is returned as raw int16
+            with open(path, "rb") as f:
+                data = f.read()
+            for tag2, off2, size2 in _walk_chunks(data):
+                if tag2 == b"data":
+                    body = data[off2 : off2 + size2]
                     return np.frombuffer(body, "<i2").copy(), fmt["sr"]
-                break
-            pos += 8 + size + (size & 1)
+            break  # no data chunk in sniff-approved file: let load_wav raise
+        if off + size > len(data):
+            break  # fmt chunk beyond the sniff window: fall back
     return load_wav(path, target_sr=target_sr)
 
 
