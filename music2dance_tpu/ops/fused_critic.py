@@ -195,10 +195,12 @@ def critic_scan_forward(
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     assert gh3 == 3 * hidden
 
-    t_pad = _round_up(t, tb)
-    gi_p = jnp.pad(gi_tm.astype(critic_compute_dtype(cfg)),
-                   ((0, t_pad - t), (0, 0), (0, 0)))
-    n_blocks = t_pad // tb
+    # uneven trailing block: grids are ceil(t / tb) with in-kernel masking
+    # — NO host-side jnp.pad / [:t] slicing. A profiler trace showed those
+    # pads and slices copying tens of MB of streams per train step (the
+    # kernels were ~1.9 ms of a 5.3 ms step; glue was the rest).
+    gi_p = gi_tm.astype(critic_compute_dtype(cfg))
+    n_blocks = -(-t // tb)
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(
@@ -223,9 +225,9 @@ def critic_scan_forward(
             const((layers, b, hidden)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, 4 * hidden),
                                  critic_compute_dtype(cfg)),
             jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
         ],
@@ -233,7 +235,7 @@ def critic_scan_forward(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gi_p, h0, *w)
-    return htop[:t], hprev[:t], gates[:t], hfin
+    return htop, hprev, gates, hfin
 
 
 # ---------------------------------------------------------------------------
@@ -313,12 +315,8 @@ def critic_cotangent_chain(
     t = gcot_tm.shape[0]
     b = gcot_tm.shape[1]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    t_pad = _round_up(t, tb)
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
-
-    def pad_tm(x):
-        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
 
     kern = functools.partial(
         _cot_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
@@ -343,14 +341,14 @@ def critic_cotangent_chain(
             const((layers, b, hidden)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(pad_tm(gcot_tm), pad_tm(hprev), pad_tm(gates), g_hfin, *w)
-    return a_in[:t], dh0
+    )(gcot_tm, hprev, gates, g_hfin, *w)
+    return a_in, dh0
 
 
 # ---------------------------------------------------------------------------

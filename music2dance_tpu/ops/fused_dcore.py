@@ -151,9 +151,7 @@ def dcore_scan_forward(
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     cdt = critic_compute_dtype(cfg)
 
-    t_pad = _round_up(t, tb)
-    pad = lambda x: jnp.pad(x.astype(cdt), ((0, t_pad - t), (0, 0), (0, 0)))
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(
@@ -185,20 +183,19 @@ def dcore_scan_forward(
             const((layers, 2 * b, hidden)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, 2 * b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, 2 * b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, 2 * b, 4 * hidden), cdt),
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden), cdt),
+            jax.ShapeDtypeStruct((t, 2 * b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, 2 * b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, 2 * b, 4 * hidden), cdt),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, 4 * hidden), cdt),
             jax.ShapeDtypeStruct((layers, 2 * b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, 3 * b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(pad(gi_rf), pad(gi_hat), h0_rf, *w)
+    )(gi_rf.astype(cdt), gi_hat.astype(cdt), h0_rf, *w)
     htop, hprev_rf, gates_rf, hprev_hat, gates_hat, hfin = outs
-    return (htop[:t], hprev_rf[:t], gates_rf[:t], hprev_hat[:t],
-            gates_hat[:t], hfin)
+    return htop, hprev_rf, gates_rf, hprev_hat, gates_hat, hfin
 
 
 # ---------------------------------------------------------------------------

@@ -164,14 +164,12 @@ def dual_generator_forward(
         raise ValueError("config/shape not supported by the dual generator kernel")
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
 
-    t_pad = _round_up(t, tb)
     cdt = compute_dtype(cfg)
 
-    def to_tm(x):  # [B, T, D] -> padded [T_pad, B, D] in compute dtype
-        x = jnp.swapaxes(x, 0, 1).astype(cdt)
-        return jnp.pad(x, ((0, t_pad - t), (0, 0), (0, 0)))
+    def to_tm(x):  # [B, T, D] -> [T, B, D] in compute dtype
+        return jnp.swapaxes(x, 0, 1).astype(cdt)
 
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
     weights = cast_weights(
         tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
     )
@@ -191,8 +189,8 @@ def dual_generator_forward(
         const((bf + bd, p_dim)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t_pad, bf, p_dim), jnp.float32),
-        jax.ShapeDtypeStruct((t_pad, bd, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((t, bf, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((t, bd, p_dim), jnp.float32),
         jax.ShapeDtypeStruct((layers, bf + bd, hidden), jnp.float32),
         jax.ShapeDtypeStruct((bf + bd, p_dim), jnp.float32),
     ]
@@ -207,10 +205,10 @@ def dual_generator_forward(
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((t_pad, layers, bd, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, bd, p_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, bd, 4 * hidden), cdt),
-            jax.ShapeDtypeStruct((t_pad, bd, cfg.head_hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, bd, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, bd, p_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, bd, 4 * hidden), cdt),
+            jax.ShapeDtypeStruct((t, bd, cfg.head_hidden), jnp.float32),
         ]
 
     outs = pl.pallas_call(
@@ -234,14 +232,14 @@ def dual_generator_forward(
 
     poses_f, poses_d, h_fin, p_fin = outs[:4]
     base = (
-        jnp.swapaxes(poses_f[:t], 0, 1),
-        jnp.swapaxes(poses_d[:t], 0, 1),
+        jnp.swapaxes(poses_f, 0, 1),
+        jnp.swapaxes(poses_d, 0, 1),
         h_fin,
         p_fin,
     )
     if save_acts:
         hprev, pprev, gates, ypre = outs[4:]
-        return base + (hprev[:t], pprev[:t], gates[:t], ypre[:t])
+        return base + (hprev, pprev, gates, ypre)
     return base
 
 
@@ -284,7 +282,6 @@ def make_dual_scan(cfg: GeneratorConfig, b_fwd: int, tb: int = 4,
         _g_poses_f, g_poses_d, g_hfin, g_pfin = cots
         bf = b_fwd
         t = hprev.shape[0]
-        t_pad = _round_up(t, tb)
 
         weights2d = cast_weights(
             tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
@@ -292,13 +289,10 @@ def make_dual_scan(cfg: GeneratorConfig, b_fwd: int, tb: int = 4,
         names = weight_names(cfg)
         wd = dict(zip(names, cast_weights(weights, cfg)))
 
-        def pad_tm(x):
-            return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
-
-        gp_tm = pad_tm(jnp.swapaxes(g_poses_d, 0, 1))
+        gp_tm = jnp.swapaxes(g_poses_d, 0, 1)
         dh_in, dpose, dh0_d, dprev0_d = _chain_backward(
-            gp_tm, g_hfin[:, bf:], g_pfin[bf:], pad_tm(hprev), pad_tm(gates),
-            pad_tm(ypre), weights2d, cfg, tb, t, interpret,
+            gp_tm, g_hfin[:, bf:], g_pfin[bf:], hprev, gates,
+            ypre, weights2d, cfg, tb, t, interpret,
         )
         grads, dgi_static_tm = _weight_grads(
             dh_in, dpose, pprev, hprev, gates, ypre, wd, cfg

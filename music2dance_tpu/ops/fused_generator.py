@@ -215,11 +215,8 @@ def fused_generator_forward(
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
     assert gh3 == 3 * hidden
 
-    t_pad = _round_up(t, tb)
     gi_tm = jnp.swapaxes(gi_static, 0, 1).astype(compute_dtype(cfg))  # [T, B, 3H]
-    if t_pad != t:
-        gi_tm = jnp.pad(gi_tm, ((0, t_pad - t), (0, 0), (0, 0)))
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
 
     # biases as [1, D] rows (TPU wants >= 2D); kernels in compute dtype
     weights = cast_weights(
@@ -244,9 +241,9 @@ def fused_generator_forward(
         const((b, p_dim)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
-        jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
+        jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
         jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
         jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
     ]
@@ -258,8 +255,8 @@ def fused_generator_forward(
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden), compute_dtype(cfg)),
-            jax.ShapeDtypeStruct((t_pad, b, cfg.head_hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, 4 * hidden), compute_dtype(cfg)),
+            jax.ShapeDtypeStruct((t, b, cfg.head_hidden), jnp.float32),
         ]
 
     outs = pl.pallas_call(
@@ -282,11 +279,11 @@ def fused_generator_forward(
     )(gi_tm, h0, prev0, *weights)
 
     poses_tm, hprev, pprev, h_fin, p_fin = outs[:5]
-    poses = jnp.swapaxes(poses_tm[:t], 0, 1)  # [B, T, P]
-    base = (poses, hprev[:t], pprev[:t], h_fin, p_fin)
+    poses = jnp.swapaxes(poses_tm, 0, 1)  # [B, T, P]
+    base = (poses, hprev, pprev, h_fin, p_fin)
     if save_acts:
         gates, ypre = outs[5], outs[6]
-        return base + (gates[:t], ypre[:t])
+        return base + (gates, ypre)
     return base
 
 

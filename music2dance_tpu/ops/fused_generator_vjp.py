@@ -130,11 +130,11 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
 def _chain_backward(
     g_poses_tm, g_hfin, g_pfin, hprev, gates, ypre, weights, cfg, tb, t, interpret
 ):
-    """Run phase 1. All sequence args time-major and padded to t_pad."""
-    t_pad = hprev.shape[0]
+    """Run phase 1. All sequence args time-major, natural length t
+    (uneven trailing grid block; the kernel masks)."""
     b = hprev.shape[2]
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)
     names = weight_names(cfg)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -164,8 +164,8 @@ def _chain_backward(
             const((b, p_dim)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, b, p_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
             jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
         ],
@@ -176,7 +176,7 @@ def _chain_backward(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(g_poses_tm, hprev, gates, ypre, g_hfin, g_pfin, *weights)
-    return dh_in[:t], dpose[:t], dh0, dprev0
+    return dh_in, dpose, dh0, dprev0
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +266,6 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
         hprev, pprev, gates, ypre, weights = res
         g_poses, g_hfin, g_pfin = cots
         t = hprev.shape[0]
-        t_pad = _round_up(t, tb)
 
         weights2d = cast_weights(
             tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
@@ -274,13 +273,10 @@ def make_fused_scan(cfg: GeneratorConfig, tb: int = 4, interpret: bool | None = 
         names = weight_names(cfg)
         wd = dict(zip(names, cast_weights(weights, cfg)))
 
-        def pad_tm(x):
-            return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
-
-        gp_tm = pad_tm(jnp.swapaxes(g_poses, 0, 1))
+        gp_tm = jnp.swapaxes(g_poses, 0, 1)
 
         dh_in, dpose, dh0, dprev0 = _chain_backward(
-            gp_tm, g_hfin, g_pfin, pad_tm(hprev), pad_tm(gates), pad_tm(ypre),
+            gp_tm, g_hfin, g_pfin, hprev, gates, ypre,
             weights2d, cfg, tb, t, interpret,
         )
         grads, dgi_static_tm = _weight_grads(

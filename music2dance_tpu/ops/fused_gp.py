@@ -185,12 +185,8 @@ def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
         interpret = jax.default_backend() != "tpu"
     t, b, _ = u_tm.shape
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    t_pad = _round_up(t, tb)
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
-
-    def pad_tm(x):
-        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
 
     kern = functools.partial(
         _tan_fwd_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
@@ -216,16 +212,16 @@ def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
             pl.BlockSpec((tb, b, hidden), blk((0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, layers, b, 4 * hidden),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, 4 * hidden),
                                  critic_compute_dtype(cfg)),
-            jax.ShapeDtypeStruct((t_pad, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(pad_tm(u_tm), pad_tm(hprev), pad_tm(gates), *w)
-    return hdotprev[:t], tgates[:t], hdottop[:t]
+    )(u_tm, hprev, gates, *w)
+    return hdotprev, tgates, hdottop
 
 
 # ---------------------------------------------------------------------------
@@ -291,12 +287,8 @@ def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
     t = a_in.shape[0]
     b = a_in.shape[2]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    t_pad = _round_up(t, tb)
-    n_blocks = t_pad // tb
+    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
-
-    def pad_tm(x):
-        return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
 
     kern = functools.partial(
         _tan_cot_kernel, cfg=cfg, tb=tb, t_total=t, n_weights=len(w)
@@ -320,14 +312,13 @@ def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
             pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(pad_tm(hprev), pad_tm(hdotprev), pad_tm(gates), pad_tm(tgates),
-      pad_tm(a_in), *w)
-    return adot_in[:t]
+    )(hprev, hdotprev, gates, tgates, a_in, *w)
+    return adot_in
 
 
 # ---------------------------------------------------------------------------
