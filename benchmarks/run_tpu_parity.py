@@ -1,0 +1,182 @@
+"""COMPILED-kernel parity on real TPU hardware.
+
+The CPU test suite proves every fused kernel equals its XLA reference in
+*interpret* mode; this script checks the Mosaic-COMPILED kernels against
+the XLA implementations on the actual TPU (forward outputs and
+first-order gradients), so compiler-specific issues (layouts, uneven
+trailing blocks, bf16 tiling) are caught directly. Prints one JSON line
+per check; exits nonzero on any tolerance violation.
+
+Run after kernel changes alongside bench.py (the verify recipe's
+kernel-change flow). Compiles are slow on this tunneled TPU (~1 min
+each), so the checks are split: ``--part fwd`` (forward/score parity),
+``--part grad`` (gradient parity incl. the second order), default both.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.harness import emit
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.models import Discriminator, Generator, full_gan
+from music2dance_tpu.ops.fused_critic import fused_critic_apply
+from music2dance_tpu.ops.fused_dcore import fused_d_phase
+from music2dance_tpu.ops.fused_generator import fused_apply
+from music2dance_tpu.ops.fused_generator_vjp import fused_apply_diff
+from music2dance_tpu.ops.fused_gdual import fused_dual_apply
+from music2dance_tpu.train.losses import critic_loss
+
+
+def check(name, got, ref, rtol, atol):
+    got, ref = np.asarray(got), np.asarray(ref)
+    err = float(np.max(np.abs(got - ref) / np.maximum(np.abs(ref), atol / rtol)))
+    ok = bool(np.allclose(got, ref, rtol=rtol, atol=atol))
+    emit(f"tpu_parity_{name}", ok=ok, max_rel=round(err, 8))
+    return ok
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", default="all", choices=["all", "fwd", "grad"])
+    args = ap.parse_args()
+    do_fwd = args.part in ("all", "fwd")
+    do_grad = args.part in ("all", "grad")
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    audio = AudioConfig()
+    # f32 so the compiled-vs-XLA comparison is tight (bf16 adds rounding)
+    gan = full_gan(feature_dim=audio.n_features)
+    gcfg, dcfg = gan.generator, gan.discriminator
+    gen, disc = Generator(gcfg), Discriminator(dcfg)
+    batch = synthetic_batch(jax.random.key(0), 8, 2.0, audio)
+    feats, real = batch["feats"], batch["poses"]
+    b = feats.shape[0]
+    ks = jax.random.split(jax.random.key(1), 4)
+    z1 = jax.random.normal(ks[0], (b, gcfg.noise_dim))
+    z2 = jax.random.normal(ks[1], (b, gcfg.noise_dim))
+    g_params = gen.init(ks[2], feats, z1)
+    d_params = disc.init(ks[3], real, feats)
+
+    oks = []
+    got = jax.jit(lambda p: fused_apply(p, gcfg, feats, z1))(g_params)
+
+    if do_fwd:
+        # generator forward (compiled kernel vs XLA scan)
+        ref = jax.jit(lambda p: gen.apply(p, feats, z1))(g_params)
+        oks.append(check("gen_forward", got, ref, 2e-5, 2e-5))
+
+        # dual pass rows == single calls
+        fakes_fwd, fake_g = jax.jit(
+            lambda p: fused_dual_apply(p, gcfg, feats, [z1], z2)
+        )(g_params)
+        oks.append(check("gdual_fwd_row", fakes_fwd[0], got, 1e-6, 1e-6))
+        ref_g = jax.jit(lambda p: fused_apply_diff(p, gcfg, feats, z2))(g_params)
+        oks.append(check("gdual_diff_row", fake_g, ref_g, 1e-6, 1e-6))
+
+        # critic scores (compiled) vs flax
+        sref = jax.jit(lambda p: disc.apply(p, real, feats))(d_params)
+        sgot = jax.jit(lambda p: fused_critic_apply(p, dcfg, real, feats))(d_params)
+        oks.append(check("critic_scores", sgot, sref, 2e-5, 2e-5))
+
+    # generator-phase gradient through the compiled two-phase VJP.
+    # IMPORTANT: compared under jax.default_matmul_precision("float32").
+    # At the DEFAULT precision XLA's f32 matmuls run as bf16x3 while the
+    # Mosaic kernels' dots are true f32, so the two paths differ by the
+    # reference's own precision noise (measured: the XLA grads move 5%
+    # against themselves between precision settings; under a matched f32
+    # setting fused-vs-XLA agree to ~6e-7). The f32 context makes the
+    # comparison about the VJP math, and the threshold can be tight.
+    feats_s = feats[:, :24]
+    target = jax.random.normal(jax.random.key(5), (b, 24, gcfg.pose_dim))
+
+    def loss_fused(p):
+        d = fused_apply_diff(p, gcfg, feats_s, z2) - target
+        return jnp.mean(d * d)
+
+    def loss_xla(p):
+        d = gen.apply(p, feats_s, z2) - target
+        return jnp.mean(d * d)
+
+    # per-leaf Frobenius relative error: an untrained model's recurrent
+    # chain amplifies gradients to O(1e3) scales, so elementwise-max
+    # relative error only measures rounding conditioning (the XLA
+    # reference itself moves by more when its matmul precision changes);
+    # the norm-level agreement is the meaningful parity statement
+    def frob_worst(ref_tree, got_tree):
+        worst = 0.0
+        for (pa, a), (_, c) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_tree),
+            jax.tree_util.tree_leaves_with_path(got_tree),
+        ):
+            a, c = np.asarray(a, np.float64), np.asarray(c, np.float64)
+            denom = max(float(np.linalg.norm(a)), 1e-6)
+            worst = max(worst, float(np.linalg.norm(c - a)) / denom)
+        return worst
+
+    if do_grad:
+        with jax.default_matmul_precision("float32"):
+            gf = jax.jit(jax.grad(loss_fused))(g_params)
+            gx = jax.jit(jax.grad(loss_xla))(g_params)
+        worst = frob_worst(gx, gf)
+        emit("tpu_parity_gen_grads", ok=worst < 1e-5,
+             worst_frob_rel=round(worst, 10))
+        oks.append(worst < 1e-5)
+
+    # full critic-phase loss + SECOND-ORDER gradient (merged d-core incl.
+    # the hand-derived GP kernels) vs pure-XLA autodiff
+    fake = jax.lax.stop_gradient(got)
+    alpha = jax.random.uniform(jax.random.key(7), (b, 1, 1))
+    x_hat = alpha * real + (1 - alpha) * fake
+
+    def d_loss_fused(p):
+        s_r, s_f, gp = fused_d_phase(p, dcfg, real, fake, x_hat, feats)
+        return critic_loss(s_r, s_f, gp, 10.0, 1e-3)
+
+    def d_loss_xla(p):
+        x_all = jnp.concatenate([real, fake, x_hat], axis=0)
+        f_all = jnp.concatenate([feats] * 3, axis=0)
+        scores, pull = jax.vjp(lambda x: disc.apply(p, x, f_all), x_all)
+        sel = jnp.concatenate(
+            [jnp.zeros((2 * b,), scores.dtype), jnp.ones((b,), scores.dtype)]
+        )
+        (gx_,) = pull(sel)
+        g_hat = gx_[2 * b:]
+        sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+        gp = jnp.mean((jnp.sqrt(sq + 1e-12) - 1.0) ** 2)
+        return critic_loss(scores[:b], scores[b:2 * b], gp, 10.0, 1e-3)
+
+    if do_grad:
+        with jax.default_matmul_precision("float32"):
+            (lv_f, df) = jax.jit(jax.value_and_grad(d_loss_fused))(d_params)
+            (lv_x, dx) = jax.jit(jax.value_and_grad(d_loss_xla))(d_params)
+        lv_f, lv_x = float(lv_f), float(lv_x)
+        emit("tpu_parity_d_loss_value",
+             ok=abs(lv_f - lv_x) < 1e-3 * max(1, abs(lv_x)),
+             fused=round(lv_f, 6), xla=round(lv_x, 6))
+        oks.append(abs(lv_f - lv_x) < 1e-3 * max(1, abs(lv_x)))
+        # grad-of-grad through T sequential steps: the hand-derived
+        # Hessian-vector kernels and XLA's nested autodiff evaluate the
+        # same derivative in genuinely different operation orders, so
+        # f32 rounding accumulates to ~1e-4 at norm level (measured
+        # 1.0e-4; first-order and values agree to ~1e-6..1e-7)
+        worst = frob_worst(dx, df)
+        emit("tpu_parity_d_grads_2nd_order", ok=worst < 5e-4,
+             worst_frob_rel=round(worst, 10))
+        oks.append(worst < 5e-4)
+
+    if not all(oks):
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
