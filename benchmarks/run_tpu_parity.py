@@ -52,6 +52,10 @@ def main():
     args = ap.parse_args()
     do_fwd = args.part in ("all", "fwd")
     do_grad = args.part in ("all", "grad")
+    if args.part == "all":
+        print("# note: the combined run compiles ~10 executables (~1 min each "
+              "on the tunneled TPU) — run --part fwd and --part grad "
+              "separately if a shell timeout applies", flush=True)
     assert jax.default_backend() == "tpu", "run on the TPU"
     audio = AudioConfig()
     # f32 so the compiled-vs-XLA comparison is tight (bf16 adds rounding)
@@ -96,8 +100,8 @@ def main():
     # against themselves between precision settings; under a matched f32
     # setting fused-vs-XLA agree to ~6e-7). The f32 context makes the
     # comparison about the VJP math, and the threshold can be tight.
-    feats_s = feats[:, :24]
-    target = jax.random.normal(jax.random.key(5), (b, 24, gcfg.pose_dim))
+    feats_s = feats[:, :23]  # 23 % tb(4) != 0: exercises the BACKWARD kernel's uneven trailing block
+    target = jax.random.normal(jax.random.key(5), (b, 23, gcfg.pose_dim))
 
     def loss_fused(p):
         d = fused_apply_diff(p, gcfg, feats_s, z2) - target

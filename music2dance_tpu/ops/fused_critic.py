@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import DiscriminatorConfig
-from .fused_generator import _round_up
 from .fused_generator_vjp import _gate_cotangents
 
 
@@ -200,7 +199,7 @@ def critic_scan_forward(
     # pads and slices copying tens of MB of streams per train step (the
     # kernels were ~1.9 ms of a 5.3 ms step; glue was the rest).
     gi_p = gi_tm.astype(critic_compute_dtype(cfg))
-    n_blocks = -(-t // tb)
+    n_blocks = pl.cdiv(t, tb)
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(
@@ -315,7 +314,7 @@ def critic_cotangent_chain(
     t = gcot_tm.shape[0]
     b = gcot_tm.shape[1]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(

@@ -61,7 +61,6 @@ from .fused_critic import (
     input_grad_from_chain,
     supports_fused_critic,
 )
-from .fused_generator import _round_up
 from .fused_gp import (
     tangent_cotangent_chain,
     tangent_forward,
@@ -151,7 +150,7 @@ def dcore_scan_forward(
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     cdt = critic_compute_dtype(cfg)
 
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(

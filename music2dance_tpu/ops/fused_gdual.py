@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import GeneratorConfig
 from .fused_generator import (
-    _round_up,
     cast_weights,
     compute_dtype,
     supports_fused,
@@ -169,7 +168,7 @@ def dual_generator_forward(
     def to_tm(x):  # [B, T, D] -> [T, B, D] in compute dtype
         return jnp.swapaxes(x, 0, 1).astype(cdt)
 
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     weights = cast_weights(
         tuple(w if w.ndim > 1 else w[None, :] for w in weights), cfg
     )

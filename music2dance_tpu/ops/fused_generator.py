@@ -38,10 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.configs import GeneratorConfig
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
     if cfg.cell != "gru" or not cfg.autoregressive:
         return False
@@ -216,7 +212,7 @@ def fused_generator_forward(
     assert gh3 == 3 * hidden
 
     gi_tm = jnp.swapaxes(gi_static, 0, 1).astype(compute_dtype(cfg))  # [T, B, 3H]
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
 
     # biases as [1, D] rows (TPU wants >= 2D); kernels in compute dtype
     weights = cast_weights(

@@ -36,7 +36,6 @@ from ..models.configs import GeneratorConfig
 from .gru_math import acts_from_saved
 from .gru_math import gate_cotangents as _gate_cotangents
 from .fused_generator import (
-    _round_up,
     cast_weights,
     compute_dtype,
     fused_generator_forward,
@@ -134,7 +133,7 @@ def _chain_backward(
     (uneven trailing grid block; the kernel masks)."""
     b = hprev.shape[2]
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
-    n_blocks = -(-t // tb)
+    n_blocks = pl.cdiv(t, tb)
     names = weight_names(cfg)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),

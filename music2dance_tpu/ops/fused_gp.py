@@ -55,7 +55,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import DiscriminatorConfig
-from .fused_generator import _round_up
 from .fused_generator_vjp import _gate_cotangents
 from .fused_critic import (
     _pack_gates,
@@ -185,7 +184,7 @@ def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
         interpret = jax.default_backend() != "tpu"
     t, b, _ = u_tm.shape
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(
@@ -287,7 +286,7 @@ def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
     t = a_in.shape[0]
     b = a_in.shape[2]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    n_blocks = -(-t // tb)  # uneven trailing block; masking in-kernel
+    n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
     kern = functools.partial(
