@@ -88,24 +88,42 @@ def train_from_store(
     )
     import time as _time
 
+    # One-chunk-lag metrics pipeline: the sync + host fetch of chunk N's
+    # metrics (a full tunnel round trip on this platform) happens AFTER
+    # chunk N+1 has been dispatched, so the fetch overlaps device compute
+    # instead of serializing with it. steps_per_sec is the wall time
+    # between consecutive drains over the chunk length — steady-state
+    # exact, first chunk includes compile as before.
+    t_prev = _time.perf_counter()
+
+    def drain(p):
+        nonlocal t_prev
+        p_done, p_len, p_last = p
+        synchronize(p_last)  # real barrier (+ makes the fetch below cheap)
+        now = _time.perf_counter()
+        logger.log(p_done, {**p_last, "steps_per_sec": p_len / (now - t_prev)})
+        t_prev = now
+
     try:
         done = 0
+        pending = None
         while done < total_steps:
             if total_steps - done < chunk_len:  # final partial chunk
                 chunk_len = total_steps - done
                 chunk = make_chunk(chunk_len)
-            t0 = _time.perf_counter()
-            state, metrics_seq = chunk(state)
+            state, metrics_seq = chunk(state)   # async dispatch
             last = jax.tree.map(lambda x: x[-1], metrics_seq)
-            synchronize(last)  # real barrier (+ makes the fetch below cheap)
-            dt = _time.perf_counter() - t0
             done += chunk_len
-            logger.log(done, {**last, "steps_per_sec": chunk_len / dt})
+            if pending is not None:
+                drain(pending)
+            pending = (done, chunk_len, last)
             if evaluator is not None and tc.eval_every > 0 and done % tc.eval_every < chunk_len:
                 logger.log(done,
                            {f"eval_{k}": v for k, v in evaluator(state).items()})
             if writer is not None and done % tc.ckpt_every < chunk_len:
                 writer.save(done, state)  # async: returns immediately
+        if pending is not None:
+            drain(pending)
         if writer is not None:
             writer.save(int(state.step), state)
     finally:
