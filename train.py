@@ -31,6 +31,11 @@ flags.DEFINE_enum("input_mode", "stream", ["stream", "feature_cache", "device_st
 flags.DEFINE_string("cache_dir", None, "feature cache directory (.npz)")
 flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
+flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
+                     "default, 50). In device_store mode this is also the "
+                     "scan-fused chunk length: on dispatch-latency-bound hosts "
+                     "(e.g. a tunneled TPU) larger values amortize the per-"
+                     "dispatch round trip")
 flags.DEFINE_float("val_fraction", 0.1, "held-out clip fraction for --eval_every")
 
 
@@ -59,6 +64,12 @@ def main(argv):
                 generator=dataclasses.replace(p.gan.generator, dtype="bfloat16"),
                 discriminator=dataclasses.replace(p.gan.discriminator, dtype="bfloat16"),
             ),
+        )
+    if FLAGS.log_every > 0:
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, train=dataclasses.replace(p.train, log_every=FLAGS.log_every)
         )
     layout = p.gan.generator.layout
 
