@@ -79,3 +79,28 @@ def test_supports_fused_guards():
     assert not supports_fused(lstm, interpret=True)
     nar = GeneratorConfig(**{**cfg.__dict__, "autoregressive": False})
     assert not supports_fused(nar, interpret=True)
+
+
+def test_shorter_than_time_block():
+    """T < tb: the whole scan is ONE partial grid block (uneven trailing
+    block degenerate case). Forward must equal the XLA scan exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music2dance_tpu.models import Generator, GeneratorConfig, JointLayout
+    from music2dance_tpu.ops.fused_generator import fused_apply
+
+    gcfg = GeneratorConfig(
+        layout=JointLayout(n_joints=4, joint_dim=2), feature_dim=6,
+        noise_dim=4, enc_dim=8, enc_layers=1, hidden_dim=16, rnn_layers=1,
+        head_hidden=8,
+    )
+    gen = Generator(gcfg)
+    feats = jax.random.normal(jax.random.key(0), (2, 3, 6))  # T=3 < tb=4
+    z = jax.random.normal(jax.random.key(1), (2, 4))
+    params = gen.init(jax.random.key(2), feats, z)
+    ref = gen.apply(params, feats, z)
+    got = fused_apply(params, gcfg, feats, z, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
