@@ -47,7 +47,7 @@ def measure_tpu_train_steps_per_sec(n_steps: int = 200) -> float:
     # bf16 mixed precision is the production TPU configuration (bf16 MXU
     # compute, f32 params/losses/poses); the full fused-kernel path engages
     # automatically (generator scan + critic scan + second-order GP op).
-    # f32 measures ~188 steps/s vs bf16 ~211 at the same K=200 scan.
+    # f32 measures ~188 steps/s vs bf16 ~231 at the same K=200 scan.
     gan = full_gan(feature_dim=audio.n_features, dtype="bfloat16")
     tc = TrainConfig(batch_size=32, clip_seconds=6.0, n_critic=1)
 

@@ -367,6 +367,22 @@ def _dot_cast(a, c):
     return jnp.dot(a.astype(c.dtype), c, preferred_element_type=jnp.float32)
 
 
+def col_sum(x2d, like):
+    """Bias gradient: column sum of a [T*B, D] cotangent panel as an MXU
+    ones-matmul in the weight dtype (f32 accumulate). For bf16 configs
+    this reads the SAME bf16 panel the weight-grad matmul consumes, so
+    XLA never materializes a second f32 copy of the stream — the panels
+    are HBM-bound (trace: ~90 MB of mixed bf16+f32 stream outputs per
+    step). Precision-consistent with the mixed-precision contract: the
+    weight grads already ride bf16 operands; f32 configs are unchanged
+    (the cast is a no-op and the dot is an exact f32 sum)."""
+    ones = jnp.ones((1, x2d.shape[0]), like.dtype)
+    return jax.lax.dot_general(
+        ones, x2d.astype(like.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
 def critic_panel_grads(a_in, gates, hprev, weights, cfg):
     """All weight grads + the gi cotangent as [T*B]-panel matmuls.
 
@@ -397,14 +413,17 @@ def critic_panel_grads(a_in, gates, hprev, weights, cfg):
         grads[f"cell_l{l}.hh.kernel"] = grad_mm(
             acts[l]["h"], dgh, wd[f"cell_l{l}.hh.kernel"]
         )
-        grads[f"cell_l{l}.hh.bias"] = jnp.sum(panel(dgh), axis=0)
+        grads[f"cell_l{l}.hh.bias"] = col_sum(panel(dgh), wd[f"cell_l{l}.hh.kernel"])
         if l > 0:
             grads[f"ih_l{l}.kernel"] = grad_mm(
                 acts[l - 1]["h_new"], dgi, wd[f"ih_l{l}.kernel"]
             )
-            grads[f"ih_l{l}.bias"] = jnp.sum(panel(dgi), axis=0)
+            grads[f"ih_l{l}.bias"] = col_sum(panel(dgi), wd[f"ih_l{l}.kernel"])
         else:
-            dgi0 = dgi
+            # pre-cast to the compute dtype: every caller feeds dgi into a
+            # cdt-typed cotangent anyway, and emitting cdt here lets the
+            # f32 copy of the layer-0 gate-cotangent stream die
+            dgi0 = dgi.astype(critic_compute_dtype(cfg))
     return grads, dgi0
 
 

@@ -205,14 +205,16 @@ def _weight_grads(dh_in, dpose, pprev, hprev, gates, ypre, weights_dict, cfg):
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
+    from .fused_critic import col_sum
+
     wd = weights_dict
     grads = {}
     dout = dpose
     grads["head_out.kernel"] = grad_mm(y, dout, wd["head_out.kernel"])
-    grads["head_out.bias"] = jnp.sum(panel(dout), axis=0)
+    grads["head_out.bias"] = col_sum(panel(dout), wd["head_out.kernel"])
     dy = (dout @ wd["head_out.kernel"].astype(jnp.float32).T) * (ypre > 0.0)
     grads["head_fc.kernel"] = grad_mm(h_top, dy, wd["head_fc.kernel"])
-    grads["head_fc.bias"] = jnp.sum(panel(dy), axis=0)
+    grads["head_fc.bias"] = col_sum(panel(dy), wd["head_fc.kernel"])
 
     dgi0 = None
     for l in range(layers - 1, -1, -1):
@@ -221,12 +223,16 @@ def _weight_grads(dh_in, dpose, pprev, hprev, gates, ypre, weights_dict, cfg):
         grads[f"core.cell_l{l}.hh.kernel"] = grad_mm(
             acts[l]["h"], dgh, wd[f"core.cell_l{l}.hh.kernel"]
         )
-        grads[f"core.cell_l{l}.hh.bias"] = jnp.sum(panel(dgh), axis=0)
+        grads[f"core.cell_l{l}.hh.bias"] = col_sum(
+            panel(dgh), wd[f"core.cell_l{l}.hh.kernel"]
+        )
         if l > 0:
             grads[f"core.ih_l{l}.kernel"] = grad_mm(
                 acts[l - 1]["h_new"], dgi, wd[f"core.ih_l{l}.kernel"]
             )
-            grads[f"core.ih_l{l}.bias"] = jnp.sum(panel(dgi), axis=0)
+            grads[f"core.ih_l{l}.bias"] = col_sum(
+                panel(dgi), wd[f"core.ih_l{l}.kernel"]
+            )
         else:
             dgi0 = dgi
     grads["ih0_pose.kernel"] = grad_mm(pprev, dgi0, wd["ih0_pose.kernel"])

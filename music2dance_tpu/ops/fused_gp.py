@@ -60,6 +60,7 @@ from .fused_critic import (
     _pack_gates,
     acts_from_saved,
     cast_critic_weights,
+    col_sum,
     critic_compute_dtype,
     critic_cotangent_chain,
     critic_scan_forward,
@@ -360,14 +361,14 @@ def tangent_panel_grads(a_in, adot_in, gates, tgates, hprev, hdotprev,
         wk = wd[f"cell_l{l}.hh.kernel"]
         grads[f"cell_l{l}.hh.kernel"] = grad_mm(acts[l]["h"], dgh_d, wk) \
             + grad_mm(tans[l]["hd"], dgh, wk)
-        grads[f"cell_l{l}.hh.bias"] = jnp.sum(panel(dgh_d), axis=0)
+        grads[f"cell_l{l}.hh.bias"] = col_sum(panel(dgh_d), wk)
         if l > 0:
             uk = wd[f"ih_l{l}.kernel"]
             grads[f"ih_l{l}.kernel"] = grad_mm(acts[l - 1]["h_new"], dgi_d, uk) \
                 + grad_mm(_hd_new(acts[l - 1], tans[l - 1]), dgi, uk)
-            grads[f"ih_l{l}.bias"] = jnp.sum(panel(dgi_d), axis=0)
+            grads[f"ih_l{l}.bias"] = col_sum(panel(dgi_d), uk)
         else:
-            dgi0_d = dgi_d
+            dgi0_d = dgi_d.astype(critic_compute_dtype(cfg))
     return grads, dgi0_d
 
 
