@@ -76,16 +76,22 @@ def melspectrogram(y: jax.Array, cfg: AudioConfig) -> jax.Array:
     return jnp.matmul(power, c["mel_T"], precision=_HI)
 
 
-def power_to_db(s: jax.Array, cfg: AudioConfig) -> jax.Array:
+def power_to_db(
+    s: jax.Array, cfg: AudioConfig, mask: jax.Array | None = None
+) -> jax.Array:
     """librosa.power_to_db with per-clip top_db clipping.
 
     ``s`` is [B, T, F]; the top_db reference max is taken per clip (over the
     T and F axes), matching librosa's whole-spectrogram max on 2D input.
+    ``mask`` ([B, T, 1] bool, optional) restricts the reference peak to
+    each clip's valid frames — the masked batched path shares this exact
+    algebra so a constant change (amin, ref_db) lands in one place.
     """
     log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, s))
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(cfg.amin, cfg.ref_db))
     if cfg.top_db is not None:
-        peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        src = log_spec if mask is None else jnp.where(mask, log_spec, -jnp.inf)
+        peak = jnp.max(src, axis=(-2, -1), keepdims=True)
         log_spec = jnp.maximum(log_spec, peak - cfg.top_db)
     return log_spec
 
@@ -97,10 +103,26 @@ def mfcc(y: jax.Array, cfg: AudioConfig) -> jax.Array:
     return jnp.matmul(logmel, c["dct_T"], precision=_HI)
 
 
-def normalize_per_clip(feats: jax.Array, cfg: AudioConfig) -> jax.Array:
-    """Zero-mean / unit-variance per feature channel over time [BASELINE]."""
-    mean = jnp.mean(feats, axis=-2, keepdims=True)
-    var = jnp.var(feats, axis=-2, keepdims=True)
+def normalize_per_clip(
+    feats: jax.Array,
+    cfg: AudioConfig,
+    mask: jax.Array | None = None,
+    t_valid: jax.Array | None = None,
+) -> jax.Array:
+    """Zero-mean / unit-variance per feature channel over time [BASELINE].
+
+    With ``mask`` ([B, T, 1]) and per-clip frame counts ``t_valid`` ([B]),
+    the statistics run over each clip's valid frames only (the masked
+    batched path) — same algebra, one implementation.
+    """
+    if mask is None:
+        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        var = jnp.var(feats, axis=-2, keepdims=True)
+    else:
+        denom = jnp.maximum(t_valid, 1)[:, None, None].astype(feats.dtype)
+        fmask = mask.astype(feats.dtype)
+        mean = jnp.sum(feats * fmask, axis=-2, keepdims=True) / denom
+        var = jnp.sum(((feats - mean) ** 2) * fmask, axis=-2, keepdims=True) / denom
     return (feats - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
 
 
@@ -145,14 +167,9 @@ def extract_features_masked(
     t = mel.shape[1]
     mask = (jnp.arange(t)[None, :] < t_valid[:, None])[..., None]  # [B,T,1]
 
-    # power_to_db with the peak over VALID frames only
-    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
-    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(cfg.amin, cfg.ref_db))
-    if cfg.top_db is not None:
-        peak = jnp.max(
-            jnp.where(mask, log_spec, -jnp.inf), axis=(-2, -1), keepdims=True
-        )
-        log_spec = jnp.maximum(log_spec, peak - cfg.top_db)
+    # shared algebra with the unmasked path (power_to_db /
+    # normalize_per_clip take the mask) — a constant change lands once
+    log_spec = power_to_db(mel, cfg, mask=mask)
 
     if cfg.feature_type == "mfcc":
         c = frontend_constants(cfg)
@@ -163,11 +180,7 @@ def extract_features_masked(
         raise ValueError(f"unknown feature_type: {cfg.feature_type}")
 
     if cfg.normalize:
-        denom = jnp.maximum(t_valid, 1)[:, None, None].astype(feats.dtype)
-        fmask = mask.astype(feats.dtype)
-        mean = jnp.sum(feats * fmask, axis=-2, keepdims=True) / denom
-        var = jnp.sum(((feats - mean) ** 2) * fmask, axis=-2, keepdims=True) / denom
-        feats = (feats - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+        feats = normalize_per_clip(feats, cfg, mask=mask, t_valid=t_valid)
     return jnp.where(mask, feats, 0.0)
 
 

@@ -144,14 +144,56 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
     raise ValueError(f"no data chunk in {path!r}")
 
 
+def _sniff_container(head: bytes) -> str:
+    """Identify the audio container from its magic bytes ('wav', a known
+    non-WAV format name, or 'unknown')."""
+    if len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:4] == b"OggS":
+        return "ogg"
+    if head[:3] == b"ID3" or (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    if head[:4] == b"FORM":
+        return "aiff"
+    if len(head) >= 8 and head[4:8] == b"ftyp":
+        return "m4a"
+    return "unknown"
+
+
 def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
-    """Decode a WAV file to (mono float32 samples, sample_rate).
+    """Decode a WAV or FLAC file to (mono float32 samples, sample_rate).
 
     ``target_sr``: resample to this rate when the file's native rate
     differs (librosa.load(path, sr=...) semantics — SURVEY.md §3.1); the
     kaiser-sinc polyphase resampler lives in audio/resample.py.
+
+    Non-WAV input fails loudly with the detected format named: the
+    reference's librosa.load accepts any soundfile/audioread codec, this
+    build decodes WAV (PCM16/24/32, float32, EXTENSIBLE) and FLAC
+    natively — everything else must be converted first.
     """
-    if ensure_native() is not None:
+    with open(path, "rb") as f:
+        head = f.read(12)
+    kind = _sniff_container(head)
+    if kind == "flac":
+        from .flac import load_flac
+
+        y, sr = load_flac(path)
+    elif kind != "wav":
+        what = (
+            f"a {kind.upper()} file" if kind != "unknown"
+            else "not a recognized audio container"
+        )
+        raise ValueError(
+            f"{path!r} is {what}: only WAV (PCM 16/24/32-bit, float32, "
+            "WAVE_FORMAT_EXTENSIBLE) and FLAC are supported. Convert it "
+            f"first, e.g. `ffmpeg -i {os.path.basename(path)} out.wav`."
+        )
+    elif ensure_native() is not None:
         y, sr = load_wav_native(path)
     else:
         y, sr = load_wav_numpy(path)
@@ -196,8 +238,13 @@ def load_wav_pcm16(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarr
             for tag2, off2, size2 in _walk_chunks(data):
                 if tag2 == b"data":
                     body = data[off2 : off2 + size2]
+                    if len(body) % 2 != 0:
+                        # truncated/corrupt data chunk: fall back to the
+                        # f32 decoder like every other anomaly here,
+                        # instead of letting numpy raise on the odd buffer
+                        break
                     return np.frombuffer(body, "<i2").copy(), fmt["sr"]
-            break  # no data chunk in sniff-approved file: let load_wav raise
+            break  # odd/absent data chunk in sniff-approved file: f32 path
         if off + size > len(data):
             break  # fmt chunk beyond the sniff window: fall back
     return load_wav(path, target_sr=target_sr)

@@ -41,14 +41,26 @@ from ..models.configs import DiscriminatorConfig
 from .fused_generator_vjp import _gate_cotangents
 
 
-def supports_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> bool:
-    if cfg.cell != "gru" or cfg.rnn_layers < 1:
-        return False
+def why_not_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> str | None:
+    """None when the fused critic kernels apply; else a human-readable
+    reason (surfaced as a one-time warning by train/step.py so an XLA
+    fallback is never silent)."""
+    if cfg.cell != "gru":
+        return f"critic cell={cfg.cell!r} (kernels implement GRU only)"
+    if cfg.rnn_layers < 1:
+        return "critic rnn_layers < 1 (TCN critics have no scan to fuse)"
     if cfg.dtype not in ("float32", "bfloat16"):
-        return False
+        return f"critic dtype={cfg.dtype!r} (kernels support float32/bfloat16)"
     if not interpret and (cfg.hidden_dim % 128 != 0):
-        return False
-    return True
+        return (
+            f"critic hidden_dim={cfg.hidden_dim} not a multiple of 128 "
+            "(gate splits are lane-dimension slices on TPU)"
+        )
+    return None
+
+
+def supports_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> bool:
+    return why_not_fused_critic(cfg, interpret) is None
 
 
 def critic_compute_dtype(cfg: DiscriminatorConfig):
@@ -387,7 +399,9 @@ def critic_panel_grads(a_in, gates, hprev, weights, cfg):
     """All weight grads + the gi cotangent as [T*B]-panel matmuls.
 
     a_in [T,L,B,H], gates [T,L,B,4H], hprev [T,L,B,H]; weights uncast.
-    Returns (grads dict keyed by critic_weight_names, dgi [T,B,3H] f32).
+    Returns (grads dict keyed by critic_weight_names, dgi [T,B,3H] in
+    critic_compute_dtype(cfg) — bf16 for bfloat16 configs: the layer-0
+    cotangent is pre-cast so its f32 stream copy dies, see below).
     """
     layers = cfg.rnn_layers
     wd = _wdict(weights, cfg)

@@ -69,6 +69,25 @@ from .fused_gp import (
 from .gru_math import gru_gates as _gru_gates
 
 
+def supports_d_core(cfg: DiscriminatorConfig, b: int,
+                    interpret: bool | None = None) -> bool:
+    """True when the merged 3B-row kernel can lower for batch size ``b``.
+
+    The forward kernel slices its VMEM scratch at the 2B row boundary
+    (``h_scr[:, :2*b]`` / ``[2*b:]``, and the per-branch stream writes) —
+    compiled TPU lowering needs that boundary sublane-aligned:
+    ``2*b % 8 == 0`` i.e. ``b % 4 == 0``. Interpret mode takes any size.
+    Callers (train/step.py, train/tbptt.py) fall back to the unmerged
+    fused composition (fused_critic_apply + fused_gradient_penalty) when
+    this is False — same math, one extra forward pass.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not supports_fused_critic(cfg, interpret):
+        return False
+    return interpret or (2 * b) % 8 == 0
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel: one scan over [rf | hat] rows, per-branch stream outputs
 # ---------------------------------------------------------------------------

@@ -38,14 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.configs import GeneratorConfig
 
 
-def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
-    if cfg.cell != "gru" or not cfg.autoregressive:
-        return False
+def why_not_fused(cfg: GeneratorConfig, interpret: bool) -> str | None:
+    """None when the fused generator kernels apply; else a human-readable
+    reason (surfaced as a one-time warning by train/step.py so an XLA
+    fallback is never silent — a fallback costs ~3.4x in steps/s)."""
+    if cfg.cell != "gru":
+        return f"generator cell={cfg.cell!r} (kernels implement GRU only)"
+    if not cfg.autoregressive:
+        return "generator autoregressive=False (teacher-forcing scan is XLA-only)"
     if cfg.dtype not in ("float32", "bfloat16"):
-        return False
+        return f"generator dtype={cfg.dtype!r} (kernels support float32/bfloat16)"
     if not interpret and (cfg.hidden_dim % 128 != 0):
-        return False
-    return True
+        return (
+            f"generator hidden_dim={cfg.hidden_dim} not a multiple of 128 "
+            "(gate splits are lane-dimension slices on TPU)"
+        )
+    return None
+
+
+def supports_fused(cfg: GeneratorConfig, interpret: bool) -> bool:
+    return why_not_fused(cfg, interpret) is None
 
 
 def compute_dtype(cfg: GeneratorConfig):

@@ -75,16 +75,32 @@ def make_tbptt_machinery(
     from ..ops.fused_generator import fused_apply, supports_fused
     from ..ops.fused_generator_vjp import fused_apply_diff
 
+    from .step import warn_once
+
     if fused is None:
         on_tpu = jax.default_backend() == "tpu"
+        gen_interpret = not on_tpu
         fused_ok = on_tpu and supports_fused(gan.generator, interpret=False)
         fused_critic_ok = on_tpu and supports_fused_critic(
             gan.discriminator, interpret=False
         )
+        if on_tpu and not (fused_ok and fused_critic_ok):
+            from ..ops.fused_critic import why_not_fused_critic
+            from ..ops.fused_generator import why_not_fused
+
+            reason = why_not_fused(gan.generator, False) or why_not_fused_critic(
+                gan.discriminator, False
+            )
+            warn_once(
+                f"TBPTT fused kernels disabled — {reason}; the step falls "
+                "back to the slower XLA scan"
+            )
     elif fused:
+        gen_interpret = True
         fused_ok = supports_fused(gan.generator, interpret=True)
         fused_critic_ok = supports_fused_critic(gan.discriminator, interpret=True)
     else:
+        gen_interpret = True
         fused_ok = fused_critic_ok = False
 
     def gen_apply(g_params, wfeats, z, carry, diff):
@@ -92,7 +108,7 @@ def make_tbptt_machinery(
             fn = fused_apply_diff if diff else fused_apply
             return fn(
                 g_params, gan.generator, wfeats, z,
-                carry=carry, return_carry=True,
+                carry=carry, return_carry=True, interpret=gen_interpret,
             )
         return gen.apply(g_params, wfeats, z, carry=carry, return_carry=True)
 
@@ -116,7 +132,7 @@ def make_tbptt_machinery(
         if fused_critic_ok:
             return fused_critic_apply(
                 d_params, gan.discriminator, poses, feats if cond else None,
-                carry=carry, return_carry=True,
+                carry=carry, return_carry=True, interpret=gen_interpret,
             )
         return disc.apply(
             d_params, poses, feats if cond else None, carry=carry, return_carry=True
@@ -134,7 +150,11 @@ def make_tbptt_machinery(
         )
         a = alpha.reshape((b,) + (1,) * (wposes.ndim - 1))
         x_hat = a * wposes + (1.0 - a) * fake
-        if fused_critic_ok:
+        from ..ops.fused_dcore import supports_d_core
+
+        if fused_critic_ok and supports_d_core(
+            gan.discriminator, b, interpret=gen_interpret
+        ):
             # merged critic-phase core (ops/fused_dcore.py): real + fake
             # scores and the second-order GP in one 3B-row pass; the
             # real/fake stream carries chain across windows, the GP is
@@ -145,7 +165,22 @@ def make_tbptt_machinery(
                 d_params, gan.discriminator, wposes, fake, x_hat,
                 wfeats if cond else None,
                 carries=(carries["d_real"], carries["d_fake"]),
-                return_carries=True,
+                return_carries=True, interpret=gen_interpret,
+            )
+        elif fused_critic_ok:
+            # unaligned batch (b % 4 != 0): unmerged fused composition —
+            # same math, one extra forward pass
+            warn_once(
+                f"merged critic-phase kernel disabled — batch {b} is not a "
+                "multiple of 4; using the unmerged fused composition"
+            )
+            from ..ops.fused_gp import fused_gradient_penalty
+
+            s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])
+            s_fake, d_fake_new = d_apply(d_params, fake, wfeats, carries["d_fake"])
+            gp = fused_gradient_penalty(
+                d_params, gan.discriminator, x_hat, wfeats if cond else None,
+                interpret=gen_interpret,
             )
         else:
             s_real, d_real_new = d_apply(d_params, wposes, wfeats, carries["d_real"])

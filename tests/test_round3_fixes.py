@@ -1,0 +1,213 @@
+"""Round-3 fix regressions: dcore batch-alignment guard + fallback,
+chunked-loop eval cadence rounding, loud non-WAV errors, odd PCM16 body
+fallback, fused-envelope warnings (round-2 VERDICT weak #1/#3, ADVICE
+medium #1 / low #5)."""
+
+import json
+import warnings
+
+import jax
+import numpy as np
+import pytest
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+
+LAYOUT = JointLayout(n_joints=5, joint_dim=3)
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256, hop_length=200,
+                    n_mels=40, n_mfcc=13)
+GAN = tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+
+
+# ---------------------------------------------------------------------------
+# dcore alignment guard (ADVICE medium)
+# ---------------------------------------------------------------------------
+
+def test_supports_d_core_alignment():
+    from music2dance_tpu.ops.fused_dcore import supports_d_core
+
+    # compiled lowering slices VMEM rows at 2B: needs b % 4 == 0. Use a
+    # 128-aligned config so the hidden_dim envelope doesn't mask the guard.
+    import dataclasses
+
+    aligned = dataclasses.replace(GAN.discriminator, hidden_dim=128)
+    assert supports_d_core(aligned, 8, interpret=False)
+    assert not supports_d_core(aligned, 6, interpret=False)
+    # interpret mode takes any size
+    assert supports_d_core(GAN.discriminator, 6, interpret=True)
+
+
+def test_dcore_fallback_matches_merged(monkeypatch):
+    """When the merged kernel is rejected, the unmerged fused composition
+    must produce the same training step (same math, one extra pass)."""
+    tc = TrainConfig(batch_size=8, lambda_gp=10.0, n_critic=1)
+    batch = synthetic_batch(jax.random.key(3), 8, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+
+    step_merged = jax.jit(make_train_step(GAN, tc, fused=True))
+    s1, m1 = step_merged(state, batch)
+
+    import music2dance_tpu.ops.fused_dcore as dcore
+
+    monkeypatch.setattr(dcore, "supports_d_core", lambda *a, **k: False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        step_fb = jax.jit(make_train_step(GAN, tc, fused=True))
+        s2, m2 = step_fb(state, batch)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverges between merged and fallback",
+        )
+    for a, b in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_dcore_fallback_warns(monkeypatch):
+    import music2dance_tpu.ops.fused_dcore as dcore
+    import music2dance_tpu.train.step as step_mod
+
+    monkeypatch.setattr(dcore, "supports_d_core", lambda *a, **k: False)
+    monkeypatch.setattr(step_mod, "_warned", set())  # fresh dedupe set
+    tc = TrainConfig(batch_size=8, n_critic=1)
+    batch = synthetic_batch(jax.random.key(3), 8, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+    with pytest.warns(UserWarning, match="merged critic-phase kernel disabled"):
+        jax.jit(make_train_step(GAN, tc, fused=True))(state, batch)
+
+
+# ---------------------------------------------------------------------------
+# chunked-loop eval/ckpt cadence (VERDICT weak #1)
+# ---------------------------------------------------------------------------
+
+def test_store_loop_eval_cadence_rounded(tmp_path):
+    from music2dance_tpu.data.device_store import DeviceFeatureStore
+    from music2dance_tpu.data.pipeline import SyntheticClipSource
+    from music2dance_tpu.train.loop import train_from_store
+    import music2dance_tpu.train.step as step_mod
+
+    step_mod._warned.clear()
+    src = SyntheticClipSource(6, 1.0, AUDIO, LAYOUT, seed=0)
+    store = DeviceFeatureStore.from_source(src, AUDIO, frontend_impl="xla")
+    tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
+                     log_every=4, eval_every=2, ckpt_every=1000)
+    calls = []
+
+    def evaluator(state):
+        calls.append(int(state.step))
+        return {"w": 1.0}
+
+    with pytest.warns(UserWarning, match="rounding to 4"):
+        train_from_store(
+            GAN, tc, AUDIO, store, total_steps=8,
+            log_dir=str(tmp_path / "logs"), evaluator=evaluator,
+        )
+    # eval_every=2 < chunk 4 -> effective cadence 4: exactly 2 evals
+    assert calls == [4, 8]
+
+    rows = [json.loads(l) for l in
+            open(tmp_path / "logs" / "metrics.jsonl")]
+    eval_steps = [r["step"] for r in rows if "eval_w" in r]
+    assert eval_steps == [4, 8]
+    # rows are step-ordered: the train row for step N precedes eval row N
+    for n in eval_steps:
+        idx_train = min(i for i, r in enumerate(rows)
+                        if r["step"] == n and "d_loss" in r)
+        idx_eval = min(i for i, r in enumerate(rows)
+                       if r["step"] == n and "eval_w" in r)
+        assert idx_train < idx_eval
+
+
+def test_store_loop_exact_multiple_no_warning(tmp_path):
+    from music2dance_tpu.data.device_store import DeviceFeatureStore
+    from music2dance_tpu.data.pipeline import SyntheticClipSource
+    from music2dance_tpu.train.loop import train_from_store
+    import music2dance_tpu.train.step as step_mod
+
+    step_mod._warned.clear()
+    src = SyntheticClipSource(6, 1.0, AUDIO, LAYOUT, seed=0)
+    store = DeviceFeatureStore.from_source(src, AUDIO, frontend_impl="xla")
+    tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
+                     log_every=2, eval_every=4, ckpt_every=1000)
+    calls = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        train_from_store(GAN, tc, AUDIO, store, total_steps=4,
+                         evaluator=lambda s: (calls.append(int(s.step)) or
+                                              {"w": 0.0}))
+    assert calls == [4]
+
+
+# ---------------------------------------------------------------------------
+# WAV decode edge cases (ADVICE low #5, VERDICT missing #4)
+# ---------------------------------------------------------------------------
+
+def _write_wav_pcm16(path, samples, sr=8000, extra_data_byte=False):
+    import struct
+
+    body = samples.astype("<i2").tobytes()
+    if extra_data_byte:
+        body += b"\x00"  # odd data-chunk length (truncated/corrupt file)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+
+
+def test_pcm16_odd_body_falls_back(tmp_path):
+    from music2dance_tpu.data.wav import load_wav_pcm16
+
+    x = (np.sin(np.arange(800) * 0.05) * 20000).astype(np.int16)
+    p = tmp_path / "odd.wav"
+    _write_wav_pcm16(p, x, extra_data_byte=True)
+    y, sr = load_wav_pcm16(str(p))  # must not raise from numpy frombuffer
+    assert sr == 8000
+    assert y.dtype in (np.int16, np.float32)
+    got = y.astype(np.float32) / 32768.0 if y.dtype == np.int16 else y
+    np.testing.assert_allclose(got[:800], x.astype(np.float32) / 32768.0,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("magic,name", [
+    (b"ID3\x03\x00\x00\x00\x00\x00\x00rest", "MP3"),
+    (b"OggS\x00\x02" + b"\x00" * 20, "OGG"),
+    (b"FORM\x00\x00\x00\x20AIFF" + b"\x00" * 8, "AIFF"),
+    (b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 8, "M4A"),
+])
+def test_non_wav_fails_loudly(tmp_path, magic, name):
+    from music2dance_tpu.data.wav import load_wav
+
+    p = tmp_path / "song.bin"
+    p.write_bytes(magic + b"\x00" * 64)
+    with pytest.raises(ValueError, match=name):
+        load_wav(str(p))
+    with pytest.raises(ValueError, match="Convert"):
+        load_wav(str(p))
+
+
+# ---------------------------------------------------------------------------
+# fused envelope reasons (VERDICT weak #3)
+# ---------------------------------------------------------------------------
+
+def test_why_not_fused_reasons():
+    import dataclasses
+
+    from music2dance_tpu.ops.fused_critic import why_not_fused_critic
+    from music2dance_tpu.ops.fused_generator import why_not_fused
+
+    g = GAN.generator
+    assert why_not_fused(g, interpret=True) is None
+    assert "hidden_dim" in why_not_fused(g, interpret=False)
+    assert "lstm" in why_not_fused(
+        dataclasses.replace(g, cell="lstm"), interpret=True
+    )
+    d = GAN.discriminator
+    assert why_not_fused_critic(d, interpret=True) is None
+    assert "hidden_dim" in why_not_fused_critic(d, interpret=False)

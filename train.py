@@ -12,7 +12,12 @@ from __future__ import annotations
 from absl import app, flags
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("preset", "tiny", "config preset: tiny | full | long")
+flags.DEFINE_string(
+    "preset", "tiny",
+    "config preset: tiny (smoke-test scale) | full (the flagship "
+    "architecture, BASELINE config #3) | long (30 s clips with TBPTT, "
+    "config #4) | perf (full architecture at the throughput-tuned batch "
+    "— the fastest measured steps/s, see benchmarks/RESULTS.md)")
 flags.DEFINE_integer("steps", 100, "total train steps")
 flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
@@ -32,10 +37,12 @@ flags.DEFINE_string("cache_dir", None, "feature cache directory (.npz)")
 flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
 flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
-                     "default, 50). In device_store mode this is also the "
-                     "scan-fused chunk length: on dispatch-latency-bound hosts "
-                     "(e.g. a tunneled TPU) larger values amortize the per-"
-                     "dispatch round trip")
+                     "default, 50). THE single most throughput-critical knob "
+                     "in device_store mode: it is the scan-fused chunk length, "
+                     "and on dispatch-latency-bound hosts (e.g. a tunneled "
+                     "TPU) raising it from 50 to 500 measured 136 -> 204 "
+                     "steps/s end to end. eval_every/ckpt_every are rounded "
+                     "up to a chunk multiple in that mode")
 flags.DEFINE_float("val_fraction", 0.1, "held-out clip fraction for --eval_every")
 
 
