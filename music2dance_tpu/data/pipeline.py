@@ -66,6 +66,36 @@ class SyntheticClipSource(grain.sources.RandomAccessDataSource):
         return {"wave": wave, "pose": pose}
 
 
+class BeatClipSource(grain.sources.RandomAccessDataSource):
+    """Deterministic LEARNABLE synthetic clips: beat-driven motion
+    (data/synthetic.beat_driven_clip). Same interface as
+    SyntheticClipSource; use this one to demonstrate that training
+    actually learns (the noise corpus has nothing to learn)."""
+
+    def __init__(
+        self,
+        n_clips: int,
+        seconds: float,
+        audio: AudioConfig,
+        layout: JointLayout,
+        seed: int = 0,
+    ):
+        self._n = n_clips
+        self._seconds = seconds
+        self._audio = audio
+        self._layout = layout
+        self._seed = seed
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx: int) -> dict:
+        from .synthetic import beat_driven_clip
+
+        rng = np.random.default_rng((self._seed, idx))
+        return beat_driven_clip(rng, self._seconds, self._audio, self._layout)
+
+
 class NpzClipSource(grain.sources.RandomAccessDataSource):
     """Directory of .npz clip files with 'wave' [L] and 'pose' [T, P]."""
 

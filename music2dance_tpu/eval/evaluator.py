@@ -2,11 +2,16 @@
 
 The reference keeps a train/val split and the round-1 build computed its
 quality metrics (eval/metrics.py) only offline (VERDICT missing #3). The
-``Evaluator`` holds one fixed validation batch and a jitted metric pass:
-generated-vs-real critic scores (a held-out Wasserstein estimate — the
-standard WGAN progress meter) plus the pose-space kinematic/diversity
-metrics. ``train``/``train_from_store`` call it every ``tc.eval_every``
-steps and log the rows with an ``eval_`` prefix into the metrics JSONL.
+``Evaluator`` holds a SMALL FIXED SET of validation batches (≥4 when the
+corpus allows — a one-batch Wasserstein estimate is too noisy to be a
+progress meter, round-2 VERDICT weak #7) and one jitted metric pass:
+generated-vs-real critic scores (held-out Wasserstein, the standard WGAN
+progress meter), the pose-space kinematic/diversity metrics averaged over
+the set, and the Fréchet motion distance pooled over ALL held-out
+sequences (eval_fmd — the scalar "is the motion distribution approaching
+the data" trend). ``train``/``train_from_store`` call it every
+``tc.eval_every`` steps and log the rows with an ``eval_`` prefix into
+the metrics JSONL.
 """
 
 from __future__ import annotations
@@ -17,42 +22,73 @@ import jax
 import jax.numpy as jnp
 
 from ..models import Discriminator, Generator, GANConfig
-from .metrics import motion_diversity, motion_statistics
+from .metrics import (
+    frechet_distance,
+    kinematic_features,
+    motion_diversity,
+    motion_statistics,
+)
 
 
 class Evaluator:
-    """eval(state) -> {metric: float} on a fixed held-out batch."""
+    """eval(state) -> {metric: float} on a fixed held-out batch set.
 
-    def __init__(self, gan: GANConfig, val_batch: dict, seed: int = 0):
+    ``val_batches``: one {"feats", "poses"} dict or a list of them (all
+    the same shape); metrics are averaged across batches, the FMD is
+    computed once over the pooled per-sequence kinematic features.
+    """
+
+    def __init__(self, gan: GANConfig, val_batches, seed: int = 0):
+        if isinstance(val_batches, dict):
+            val_batches = [val_batches]
         gen = Generator(gan.generator)
         disc = Discriminator(gan.discriminator)
         cond = gan.discriminator.conditional
         layout = gan.generator.layout
-        feats = jnp.asarray(val_batch["feats"])
-        poses = jnp.asarray(val_batch["poses"])
-        b = feats.shape[0]
+        feats = jnp.stack([jnp.asarray(vb["feats"]) for vb in val_batches])
+        poses = jnp.stack([jnp.asarray(vb["poses"]) for vb in val_batches])
+        n, b = feats.shape[:2]
+        # one fixed noise draw per held-out sequence: the metric tracks
+        # parameter movement, not sampling noise
         z = jax.random.normal(
-            jax.random.key(seed), (b, gan.generator.noise_dim), feats.dtype
+            jax.random.key(seed), (n, b, gan.generator.noise_dim), feats.dtype
         )
+        self.n_batches = n
 
         def run(g_params, d_params):
-            fake = gen.apply(g_params, feats, z)
-            s_real = disc.apply(d_params, poses, feats if cond else None)
-            s_fake = disc.apply(d_params, fake, feats if cond else None)
             j = layout.n_joints, layout.joint_dim
-            fake4 = fake.reshape(b, -1, *j)
-            real4 = poses.reshape(b, -1, *j)
-            stats = motion_statistics(fake4)
-            real_stats = motion_statistics(real4)
-            return {
-                "wasserstein": jnp.mean(s_real) - jnp.mean(s_fake),
-                "score_real": jnp.mean(s_real),
-                "score_fake": jnp.mean(s_fake),
-                **{k: v for k, v in stats.items()},
-                **{f"real_{k}": v for k, v in real_stats.items()},
-                "diversity": motion_diversity(fake4),
-                "real_diversity": motion_diversity(real4),
-            }
+
+            def per_batch(args):
+                f, p, zi = args
+                fake = gen.apply(g_params, f, zi)
+                s_real = disc.apply(d_params, p, f if cond else None)
+                s_fake = disc.apply(d_params, fake, f if cond else None)
+                fake4 = fake.reshape(b, -1, *j)
+                real4 = p.reshape(b, -1, *j)
+                stats = motion_statistics(fake4)
+                real_stats = motion_statistics(real4)
+                scalars = {
+                    "wasserstein": jnp.mean(s_real) - jnp.mean(s_fake),
+                    "score_real": jnp.mean(s_real),
+                    "score_fake": jnp.mean(s_fake),
+                    **stats,
+                    **{f"real_{k}": v for k, v in real_stats.items()},
+                    "diversity": motion_diversity(fake4),
+                    "real_diversity": motion_diversity(real4),
+                }
+                return scalars, (kinematic_features(fake4),
+                                 kinematic_features(real4))
+
+            # lax.map over the batch set: one compiled body regardless of N
+            scalars, (kf_fake, kf_real) = jax.lax.map(
+                per_batch, (feats, poses, z)
+            )
+            out = {k: jnp.mean(v) for k, v in scalars.items()}
+            out["fmd"] = frechet_distance(
+                kf_fake.reshape(-1, kf_fake.shape[-1]),
+                kf_real.reshape(-1, kf_real.shape[-1]),
+            )
+            return out
 
         self._fn = jax.jit(run)
 
@@ -62,15 +98,20 @@ class Evaluator:
 
 
 def evaluator_from_iterator(
-    gan: GANConfig, val_batches, audio, seed: int = 0
+    gan: GANConfig, val_batches, audio, seed: int = 0, n_batches: int = 4
 ) -> Optional["Evaluator"]:
-    """Build an Evaluator from a host batch iterator (one fixed batch,
-    features extracted on device if the batch carries raw waves)."""
+    """Build an Evaluator from a host batch iterator: up to ``n_batches``
+    fixed batches (features extracted on device when batches carry raw
+    waves). Returns None when the iterator is empty."""
     from ..data.pipeline import DevicePrefetcher
 
     dev = DevicePrefetcher(iter(val_batches), audio, depth=1)
+    collected = []
     try:
-        batch = next(dev)
+        for _ in range(n_batches):
+            collected.append(dict(next(dev)))
     except StopIteration:
+        pass
+    if not collected:
         return None
-    return Evaluator(gan, {k: v for k, v in batch.items()}, seed=seed)
+    return Evaluator(gan, collected, seed=seed)

@@ -103,6 +103,68 @@ def beat_alignment(
     return jnp.mean(jnp.max(corrs, axis=0))
 
 
+def kinematic_features(poses: jax.Array) -> jax.Array:
+    """[B, T, J, D] -> [B, 4J] per-sequence kinematic feature vectors.
+
+    Per joint: mean speed, speed std (rhythm depth), mean acceleration
+    magnitude, positional std. These are the summary statistics a
+    music-to-dance GAN must match to look like the data — the embedding
+    for the Fréchet distance below (the literature uses a learned motion
+    encoder; a fixed kinematic embedding keeps the metric deterministic
+    and training-free while still separating frozen/jittery/off-beat
+    motion from real).
+    """
+    vel = poses[:, 1:] - poses[:, :-1]
+    acc = vel[:, 1:] - vel[:, :-1]
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1) + 1e-12)   # [B, T-1, J]
+    accm = jnp.sqrt(jnp.sum(acc * acc, axis=-1) + 1e-12)    # [B, T-2, J]
+    pos_std = jnp.mean(jnp.std(poses, axis=1), axis=-1)     # [B, J]
+    return jnp.concatenate(
+        [speed.mean(axis=1), speed.std(axis=1), accm.mean(axis=1), pos_std],
+        axis=-1,
+    )
+
+
+def frechet_distance(x: jax.Array, y: jax.Array, eps: float = 1e-4) -> jax.Array:
+    """Fréchet distance between Gaussian fits of two feature sets [N, F].
+
+    d² = |μx − μy|² + tr(Cx + Cy − 2·(Cx^{1/2} Cy Cx^{1/2})^{1/2}), the
+    symmetric (jittable, eigh-based) form of the FID matrix square root.
+    ``eps·I`` shrinkage keeps small-N covariance estimates PSD — fine for
+    a *progress* metric (same bias on both sides of a comparison).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    mu_x, mu_y = x.mean(axis=0), y.mean(axis=0)
+    f = x.shape[-1]
+    eye = jnp.eye(f, dtype=jnp.float32)
+
+    def cov(a, mu):
+        c = a - mu
+        return c.T @ c / jnp.maximum(a.shape[0] - 1, 1) + eps * eye
+
+    cx, cy = cov(x, mu_x), cov(y, mu_y)
+    dx, ux = jnp.linalg.eigh(cx)
+    sx = (ux * jnp.sqrt(jnp.maximum(dx, 0.0))) @ ux.T     # Cx^{1/2}
+    dm = jnp.linalg.eigvalsh(sx @ cy @ sx)
+    tr_sqrt = jnp.sum(jnp.sqrt(jnp.maximum(dm, 0.0)))
+    d2 = (jnp.sum((mu_x - mu_y) ** 2) + jnp.trace(cx) + jnp.trace(cy)
+          - 2.0 * tr_sqrt)
+    return jnp.maximum(d2, 0.0)
+
+
+def frechet_motion_distance(
+    gen_poses: jax.Array, real_poses: jax.Array, eps: float = 1e-4
+) -> jax.Array:
+    """FMD: Fréchet distance between generated and real pose batches
+    ([B, T, J, D]) in the kinematic feature embedding. The scalar progress
+    meter for 'is the generator's motion distribution approaching the
+    data' (round-2 VERDICT missing #6)."""
+    return frechet_distance(
+        kinematic_features(gen_poses), kinematic_features(real_poses), eps=eps
+    )
+
+
 def evaluate_generation(
     poses: jax.Array, real_poses: jax.Array, wave: jax.Array, cfg: AudioConfig
 ) -> dict:
@@ -116,4 +178,5 @@ def evaluate_generation(
         "real_diversity": motion_diversity(real_poses),
         "gen_beat_alignment": beat_alignment(poses, wave, cfg),
         "real_beat_alignment": beat_alignment(real_poses, wave, cfg),
+        "fmd": frechet_motion_distance(poses, real_poses),
     }

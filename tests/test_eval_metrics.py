@@ -75,3 +75,56 @@ def test_evaluate_generation_returns_finite_suite():
     assert len(out) >= 10
     for k, v in out.items():
         assert np.isfinite(float(v)), k
+
+
+def test_frechet_distance_properties():
+    """FMD: ~0 for same-distribution samples, larger for mismatched
+    kinematics, symmetric-ish, and ranks degenerate motion as worse."""
+    from music2dance_tpu.eval.metrics import (
+        frechet_distance,
+        frechet_motion_distance,
+        kinematic_features,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 12)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 12)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((64, 12)) * 3.0 + 2.0, jnp.float32)
+    near = float(frechet_distance(x, y))
+    far = float(frechet_distance(x, z))
+    assert near < far * 0.2, (near, far)
+    assert abs(float(frechet_distance(x, z)) - float(frechet_distance(z, x))) < 1e-2
+
+    # pose-space: frozen motion is much farther from real than another
+    # real-like batch is
+    t, j, d = 40, 5, 3
+    def walk(seed):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(np.cumsum(r.standard_normal((16, t, j, d)) * 0.05,
+                                     axis=1), jnp.float32)
+    real_a, real_b = walk(1), walk(2)
+    frozen = jnp.broadcast_to(real_b[:, :1], real_b.shape)
+    d_rr = float(frechet_motion_distance(real_a, real_b))
+    d_fr = float(frechet_motion_distance(frozen, real_b))
+    assert d_rr < d_fr * 0.5, (d_rr, d_fr)
+    kf = kinematic_features(real_a)
+    assert kf.shape == (16, 4 * j)
+    assert bool(jnp.all(jnp.isfinite(kf)))
+
+
+def test_beat_corpus_alignment_separates_from_null():
+    """The learnable corpus really is beat-locked: real (pose, audio)
+    pairs score clearly above mismatched pairs."""
+    from music2dance_tpu.data.synthetic import beat_driven_clip
+    from music2dance_tpu.models.configs import JointLayout
+
+    layout = JointLayout(n_joints=5, joint_dim=3)
+    clips = [beat_driven_clip(np.random.default_rng((7, i)), 3.0, AUDIO, layout)
+             for i in range(16)]
+    waves = jnp.asarray(np.stack([c["wave"] for c in clips]))
+    poses = jnp.asarray(np.stack([c["pose"] for c in clips])).reshape(16, -1, 5, 3)
+    ba_real = float(beat_alignment(poses, waves, AUDIO))
+    perm = np.random.default_rng(1).permutation(16)
+    ba_null = float(beat_alignment(poses[perm], waves, AUDIO))
+    assert ba_real > 0.25, ba_real
+    assert ba_real > ba_null + 0.1, (ba_real, ba_null)

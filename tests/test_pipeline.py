@@ -142,3 +142,18 @@ def test_train_loop_writes_and_restores_data_state(tmp_path):
 
     it = restore_data_state(ckpt, iter(ds))
     assert it.get_state() == saved
+
+
+def test_beat_source_deterministic_and_dataset_compatible():
+    from music2dance_tpu.data.pipeline import BeatClipSource
+
+    src = BeatClipSource(6, 1.0, AUDIO, LAYOUT, seed=3)
+    a, b = src[2], BeatClipSource(6, 1.0, AUDIO, LAYOUT, seed=3)[2]
+    np.testing.assert_array_equal(a["wave"], b["wave"])
+    np.testing.assert_array_equal(a["pose"], b["pose"])
+    assert a["wave"].dtype == np.float32 and a["pose"].dtype == np.float32
+    t = AUDIO.num_frames(AUDIO.num_samples(1.0))
+    assert a["pose"].shape == (t, LAYOUT.pose_dim)
+    ds = make_dataset(src, 2, 0.5, AUDIO, seed=0)
+    batch = next(iter(ds))
+    assert batch["wave"].shape[0] == 2

@@ -22,6 +22,11 @@ flags.DEFINE_integer("steps", 100, "total train steps")
 flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
 flags.DEFINE_integer("synthetic_clips", 256, "synthetic dataset size")
+flags.DEFINE_enum("corpus", "beat", ["beat", "noise"],
+                  "--synthetic corpus: beat = learnable beat-driven motion "
+                  "(audio onsets drive the poses; eval metrics can improve), "
+                  "noise = structureless shapes-only clips (throughput "
+                  "benchmarking)")
 flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
 flags.DEFINE_string("metrics_dir", None, "metrics JSONL directory")
 flags.DEFINE_string("restore", None, "checkpoint to resume from")
@@ -50,6 +55,7 @@ def main(argv):
     del argv
     from music2dance_tpu.configs.presets import preset
     from music2dance_tpu.data.pipeline import (
+        BeatClipSource,
         NpzClipSource,
         SyntheticClipSource,
         make_dataset,
@@ -83,7 +89,8 @@ def main(argv):
     if FLAGS.data_dir:
         source = NpzClipSource(FLAGS.data_dir)
     elif FLAGS.synthetic:
-        source = SyntheticClipSource(
+        src_cls = BeatClipSource if FLAGS.corpus == "beat" else SyntheticClipSource
+        source = src_cls(
             FLAGS.synthetic_clips, p.train.clip_seconds, p.audio, layout, FLAGS.seed
         )
     else:
