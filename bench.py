@@ -79,11 +79,29 @@ def main():
     value = measure_tpu_train_steps_per_sec()
     baseline = torch_baseline_steps_per_sec()
     vs = (value / baseline) if baseline else None
+
+    # exact analytic FLOPs accounting -> MFU (benchmarks/flops.py): the
+    # architecture is closed-form, so flops/step is counted, not estimated
+    from benchmarks.flops import step_mfu
+    from music2dance_tpu.audio import AudioConfig
+    from music2dance_tpu.models import full_gan
+    from music2dance_tpu.train import TrainConfig
+
+    audio = AudioConfig()
+    gan = full_gan(feature_dim=audio.n_features, dtype="bfloat16")
+    tc = TrainConfig(batch_size=32, clip_seconds=6.0, n_critic=1)
+    t = audio.num_frames(audio.num_samples(6.0))
+    m = step_mfu(gan, tc, t, value, "bfloat16")
+
     print(json.dumps({
         "metric": "gan_train_steps_per_sec_b32_6s",
         "value": round(value, 4),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "tflops_per_sec": round(m["tflops_per_sec"], 2),
+        "mfu": round(m["mfu"], 4),
+        "latency_bound_flops_fraction": round(
+            m["latency_bound_flops_fraction"], 3),
     }))
 
 

@@ -45,8 +45,8 @@ def why_not_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> str | Non
     """None when the fused critic kernels apply; else a human-readable
     reason (surfaced as a one-time warning by train/step.py so an XLA
     fallback is never silent)."""
-    if cfg.cell != "gru":
-        return f"critic cell={cfg.cell!r} (kernels implement GRU only)"
+    if cfg.cell not in ("gru", "lstm"):
+        return f"critic cell={cfg.cell!r} (kernels implement GRU and LSTM)"
     if cfg.rnn_layers < 1:
         return "critic rnn_layers < 1 (TCN critics have no scan to fuse)"
     if cfg.dtype not in ("float32", "bfloat16"):
@@ -108,35 +108,46 @@ def cast_critic_weights(weights: tuple, cfg: DiscriminatorConfig) -> tuple:
 # Shared recompute: forward gates of one step (kernel and XLA phase-2)
 # ---------------------------------------------------------------------------
 
+from .cell_math import cell_step as _cell_step  # noqa: E402
+from .cell_math import gate_cotangents as _cell_cots  # noqa: E402
+from .cell_math import gate_factor, state_slots  # noqa: E402
 from .gru_math import gru_gates as _gru_gates  # noqa: E402  (shared algebra)
 from .gru_math import pack_gates as _pack_gates  # noqa: E402
 
 
-def _recompute_core(gi0, hprev_layers, weights, cfg, dot):
+def _recompute_core(gi0, hprev_layers, weights, cfg, dot, cprev_layers=None):
     """Forward recompute for one step (panel shapes [..., H] work too).
 
-    Returns per-layer dicts {h, x, hn, r, z, n, h_new} (the fields
-    _gate_cotangents expects)."""
+    Returns per-layer act dicts (the fields gate_cotangents expects) plus
+    ``x``; cell-generic via cell_math (``cprev_layers`` required for
+    LSTM). Used by the XLA reference scans in the test suites."""
+    from .cell_math import acts_from_saved as _afs
+
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     acts = []
     x = gi0
-    for l in range(cfg.rnn_layers):
+    for l in range(layers):
         h = hprev_layers[l]
+        c = cprev_layers[l] if cprev_layers is not None else None
         gh = dot(h, weights[f"cell_l{l}.hh.kernel"]) + weights[f"cell_l{l}.hh.bias"]
-        r, z, n, hn = _gru_gates(x, gh, hidden)
-        h_new = (1.0 - z) * n + z * h
-        acts.append({"h": h, "x": x, "hn": hn, "r": r, "z": z, "n": n, "h_new": h_new})
+        h_new, _c_new, stream = _cell_step(cfg.cell, x, gh, h, c, hidden)
+        act = _afs(cfg.cell, [stream], [h], [c], hidden)[0]
+        act["x"] = x
+        acts.append(act)
         if l + 1 < layers:
             x = dot(h_new, weights[f"ih_l{l + 1}.kernel"]) + weights[f"ih_l{l + 1}.bias"]
     return acts
 
 
-def acts_from_saved(gates, hprev_layers, cfg):
-    """Per-layer act dicts from K1's saved gate streams (gru_math helper
-    bound to this config's hidden size)."""
-    from .gru_math import acts_from_saved as _afs
+def acts_from_saved(gates, hprev_layers, cfg, cprev_layers=None):
+    """Per-layer act dicts from K1's saved gate streams (cell_math helper
+    bound to this config's cell and hidden size). ``cprev_layers`` is
+    required for LSTM (the c state rows entering each step)."""
+    from .cell_math import acts_from_saved as _afs
 
-    return _afs(gates, hprev_layers, cfg.hidden_dim)
+    if cprev_layers is None:
+        cprev_layers = [None] * len(gates)
+    return _afs(cfg.cell, gates, hprev_layers, cprev_layers, cfg.hidden_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +160,7 @@ def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
     (h_scr,) = refs[6 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static: branches fold at trace time
     cdt = critic_compute_dtype(cfg)
     i = pl.program_id(0)
     weights = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
@@ -161,18 +173,20 @@ def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
         @pl.when(i * tb + t < t_total)
         def _():
             x = gi_ref[t].astype(jnp.float32)
+            hprev_ref[t] = h_scr[...]  # all S*L entering state rows
             h_new = None
             for l in range(layers):
                 h = h_scr[l]
-                hprev_ref[t, l] = h
+                c = h_scr[layers + l] if lstm else None
                 gh = jnp.dot(
                     h.astype(cdt), weights[f"cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"cell_l{l}.hh.bias"][...]
-                r, z, n, hn = _gru_gates(x, gh, hidden)
-                gates_ref[t, l] = _pack_gates(r, z, n, hn).astype(cdt)
-                h_new = (1.0 - z) * n + z * h
+                h_new, c_new, stream = _cell_step(cfg.cell, x, gh, h, c, hidden)
+                gates_ref[t, l] = stream.astype(cdt)
                 h_scr[l] = h_new
+                if lstm:
+                    h_scr[layers + l] = c_new
                 if l + 1 < layers:
                     x = jnp.dot(
                         h_new.astype(cdt), weights[f"ih_l{l + 1}.kernel"][...],
@@ -190,21 +204,26 @@ def _fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
 
 
 def critic_scan_forward(
-    gi_tm: jax.Array,   # [T, B, 3H] time-major hoisted input projection
-    h0: jax.Array,      # [L, B, H]
+    gi_tm: jax.Array,   # [T, B, G*H] time-major hoisted input projection
+    h0: jax.Array,      # [S*L, B, H] stacked state (h rows, then c rows)
     weights: tuple,     # extract_critic_weights order (uncast)
     cfg: DiscriminatorConfig,
     tb: int = 8,
     interpret: bool | None = None,
 ):
-    """Returns (htop [T,B,H], hprev [T,L,B,H], gates [T,L,B,4H],
-    h_fin [L,B,H]), all f32. ``gates`` packs [r|z|n|hn] per (step, layer)
-    so every downstream kernel/panel skips the forward recompute."""
+    """Returns (htop [T,B,H], hprev [T,S*L,B,H], gates [T,L,B,4H],
+    h_fin [S*L,B,H]), all f32. ``gates`` packs [r|z|n|hn] (GRU) /
+    [i|f|g|o] (LSTM) per (step, layer) so every downstream kernel/panel
+    skips the forward recompute; state rows follow the cell_math stacking
+    convention (S=1 GRU, S=2 LSTM)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t, b, gh3 = gi_tm.shape
+    t, b, ghg = gi_tm.shape
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
-    assert gh3 == 3 * hidden
+    g = gate_factor(cfg.cell)
+    sl = state_slots(cfg.cell) * layers
+    assert ghg == g * hidden
+    assert h0.shape[0] == sl
 
     # uneven trailing block: grids are ceil(t / tb) with in-kernel masking
     # — NO host-side jnp.pad / [:t] slicing. A profiler trace showed those
@@ -223,26 +242,26 @@ def critic_scan_forward(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, b, 3 * hidden), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, b, g * hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
         ] + [const(x.shape) for x in w],
         out_specs=[
             pl.BlockSpec((tb, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((tb, sl, b, hidden), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, layers, b, 4 * hidden),
                                  critic_compute_dtype(cfg)),
-            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((sl, b, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sl, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gi_p, h0, *w)
@@ -260,6 +279,7 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
     (dh_scr,) = refs[6 + n_weights :]
 
     layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static
     weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
 
     class _Lazy:  # load at use site; materializing all weights spills VMEM
@@ -289,14 +309,21 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
             acts = acts_from_saved(
                 [gates_ref[t, l] for l in range(layers)],
                 [hprev_ref[t, l] for l in range(layers)], cfg,
+                [hprev_ref[t, layers + l] for l in range(layers)] if lstm
+                else None,
             )
 
             dabove = gcot_ref[t]
             for l in range(layers - 1, -1, -1):
                 a = dh_scr[l] + dabove
+                ac = dh_scr[layers + l] if lstm else None
                 ain_ref[t, l] = a
-                dgi, dgh, dh_part = _gate_cotangents(a, acts[l])
-                dh_scr[l] = dh_part + dot_t(dgh, weights[f"cell_l{l}.hh.kernel"])
+                if lstm:
+                    ain_ref[t, layers + l] = ac
+                dgi, dgh, h_part, c_part = _cell_cots(cfg.cell, a, ac, acts[l])
+                dh_scr[l] = h_part + dot_t(dgh, weights[f"cell_l{l}.hh.kernel"])
+                if lstm:
+                    dh_scr[layers + l] = c_part
                 if l > 0:
                     dabove = dot_t(dgi, weights[f"ih_l{l}.kernel"])
 
@@ -311,21 +338,23 @@ def _cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int, n_weight
 
 def critic_cotangent_chain(
     gcot_tm: jax.Array,  # [T, B, H] cotangent on htop (f32)
-    g_hfin: jax.Array,   # [L, B, H] cotangent on the final carry
-    hprev: jax.Array,    # [T, L, B, H] saved pre-step hidden states
+    g_hfin: jax.Array,   # [S*L, B, H] cotangent on the final stacked carry
+    hprev: jax.Array,    # [T, S*L, B, H] saved pre-step state rows
     gates: jax.Array,    # [T, L, B, 4H] saved gate streams (K1)
     weights: tuple,      # uncast
     cfg: DiscriminatorConfig,
     tb: int = 8,
     interpret: bool | None = None,
 ):
-    """Returns (a_in [T,L,B,H], dh0 [L,B,H]): incoming hidden cotangents
-    per (step, layer) and the h0 cotangent."""
+    """Returns (a_in [T,S*L,B,H], dh0 [S*L,B,H]): incoming state cotangents
+    per (step, layer row) and the h0 cotangent — h-cotangent rows first,
+    then (LSTM) the incoming cell cotangents."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t = gcot_tm.shape[0]
     b = gcot_tm.shape[1]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
@@ -340,22 +369,22 @@ def critic_cotangent_chain(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tb, b, hidden), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+            pl.BlockSpec((tb, sl, b, hidden), rev((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), rev((0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
         ] + [const(x.shape) for x in w],
         out_specs=[
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)),
+            pl.BlockSpec((tb, sl, b, hidden), rev((0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((sl, b, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sl, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gcot_tm, hprev, gates, g_hfin, *w)
@@ -398,16 +427,18 @@ def col_sum(x2d, like):
 def critic_panel_grads(a_in, gates, hprev, weights, cfg):
     """All weight grads + the gi cotangent as [T*B]-panel matmuls.
 
-    a_in [T,L,B,H], gates [T,L,B,4H], hprev [T,L,B,H]; weights uncast.
-    Returns (grads dict keyed by critic_weight_names, dgi [T,B,3H] in
+    a_in [T,S*L,B,H], gates [T,L,B,4H], hprev [T,S*L,B,H]; weights uncast.
+    Returns (grads dict keyed by critic_weight_names, dgi [T,B,G*H] in
     critic_compute_dtype(cfg) — bf16 for bfloat16 configs: the layer-0
     cotangent is pre-cast so its f32 stream copy dies, see below).
     """
     layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"
     wd = _wdict(weights, cfg)
     acts = acts_from_saved(
         [gates[:, l] for l in range(layers)],
         [hprev[:, l] for l in range(layers)], cfg,
+        [hprev[:, layers + l] for l in range(layers)] if lstm else None,
     )
 
     def panel(x):
@@ -423,7 +454,8 @@ def critic_panel_grads(a_in, gates, hprev, weights, cfg):
     dgi0 = None
     for l in range(layers - 1, -1, -1):
         a = a_in[:, l]
-        dgi, dgh, _ = _gate_cotangents(a, acts[l])
+        ac = a_in[:, layers + l] if lstm else None
+        dgi, dgh, _, _ = _cell_cots(cfg.cell, a, ac, acts[l])
         grads[f"cell_l{l}.hh.kernel"] = grad_mm(
             acts[l]["h"], dgh, wd[f"cell_l{l}.hh.kernel"]
         )
@@ -444,8 +476,12 @@ def critic_panel_grads(a_in, gates, hprev, weights, cfg):
 def input_grad_from_chain(a_in, gates, hprev, cfg):
     """Just the gi cotangent: layer-0 dgi, locally recomputed from a_in
     (a_in already contains the cross-layer and cross-step chaining)."""
-    acts = acts_from_saved([gates[:, 0]], [hprev[:, 0]], cfg)
-    dgi0, _dgh, _ = _gate_cotangents(a_in[:, 0], acts[0])
+    layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"
+    acts = acts_from_saved([gates[:, 0]], [hprev[:, 0]], cfg,
+                           [hprev[:, layers]] if lstm else None)
+    ac = a_in[:, layers] if lstm else None
+    dgi0, _dgh, _, _ = _cell_cots(cfg.cell, a_in[:, 0], ac, acts[0])
     return dgi0
 
 
@@ -528,15 +564,21 @@ def fused_critic_apply(
     interpret: bool | None = None,
 ):
     """Drop-in for Discriminator.apply (recurrent critics): score [B]."""
+    from .cell_math import stack_rnn_carry, unstack_rnn_carry
+
     params = variables.get("params", variables)
     b, t = poses.shape[:2]
-    gi = compute_critic_gi(params, cfg, poses, feats)       # [B, T, 3H]
+    gi = compute_critic_gi(params, cfg, poses, feats)       # [B, T, G*H]
     gi_tm = jnp.swapaxes(gi, 0, 1)
+    sl = state_slots(cfg.cell) * cfg.rnn_layers
     if carry is None:
-        carry = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        h0 = jnp.zeros((sl, b, cfg.hidden_dim), jnp.float32)
+    else:
+        h0 = stack_rnn_carry(cfg.cell, carry)
     weights = extract_critic_weights(params["step"]["core"], cfg)
     scan_fn = make_fused_critic_scan(cfg, tb=tb, interpret=interpret)
-    htop_tm, hfin = scan_fn(gi_tm, carry, weights)
+    htop_tm, hfin = scan_fn(gi_tm, h0, weights)
+    hfin = unstack_rnn_carry(cfg.cell, hfin, cfg.rnn_layers)
     leaf = params["step"]["score"]
     scores = jnp.matmul(htop_tm, leaf["kernel"].astype(jnp.float32)) + leaf[
         "bias"

@@ -66,7 +66,8 @@ from .fused_gp import (
     tangent_forward,
     tangent_panel_grads,
 )
-from .gru_math import gru_gates as _gru_gates
+from .cell_math import cell_step as _cell_step
+from .cell_math import stack_rnn_carry, state_slots, unstack_rnn_carry
 
 
 def supports_d_core(cfg: DiscriminatorConfig, b: int,
@@ -101,6 +102,7 @@ def _dcore_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     (h_scr,) = refs[9 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static: branches fold at trace time
     cdt = critic_compute_dtype(cfg)
     i = pl.program_id(0)
     weights = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
@@ -119,21 +121,23 @@ def _dcore_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
                 [gi_rf_ref[t].astype(jnp.float32),
                  gi_hat_ref[t].astype(jnp.float32)], axis=0,
             )
+            hprev_rf_ref[t] = h_scr[:, : 2 * b]   # all S*L state rows
+            hprev_hat_ref[t] = h_scr[:, 2 * b :]
             h_new = None
             for l in range(layers):
                 h = h_scr[l]
-                hprev_rf_ref[t, l] = h[: 2 * b]
-                hprev_hat_ref[t, l] = h[2 * b :]
+                c = h_scr[layers + l] if lstm else None
                 gh = jnp.dot(
                     h.astype(cdt), weights[f"cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"cell_l{l}.hh.bias"][...]
-                r, z, n, hn = _gru_gates(x, gh, hidden)
-                g = _pack_gates(r, z, n, hn).astype(cdt)
+                h_new, c_new, stream = _cell_step(cfg.cell, x, gh, h, c, hidden)
+                g = stream.astype(cdt)
                 gates_rf_ref[t, l] = g[: 2 * b]
                 gates_hat_ref[t, l] = g[2 * b :]
-                h_new = (1.0 - z) * n + z * h
                 h_scr[l] = h_new
+                if lstm:
+                    h_scr[layers + l] = c_new
                 if l + 1 < layers:
                     x = jnp.dot(
                         h_new.astype(cdt), weights[f"ih_l{l + 1}.kernel"][...],
@@ -151,9 +155,9 @@ def _dcore_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
 
 
 def dcore_scan_forward(
-    gi_rf: jax.Array,    # [T, 2B, 3H] time-major hoisted projection (real;fake)
-    gi_hat: jax.Array,   # [T, B, 3H]  same for the interpolates x̂
-    h0_rf: jax.Array,    # [L, 2B, H]  incoming rf stream states
+    gi_rf: jax.Array,    # [T, 2B, G*H] time-major hoisted projection (real;fake)
+    gi_hat: jax.Array,   # [T, B, G*H]  same for the interpolates x̂
+    h0_rf: jax.Array,    # [S*L, 2B, H] incoming rf stream states (stacked)
     weights: tuple,
     cfg: DiscriminatorConfig,
     tb: int = 8,
@@ -161,12 +165,16 @@ def dcore_scan_forward(
 ):
     """Returns (htop_rf [T,2B,H], hprev_rf, gates_rf, hprev_hat, gates_hat,
     hfin_rf) — the 3B-row forward with per-branch saved streams."""
+    from .cell_math import gate_factor
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t, b2, gh3 = gi_rf.shape
+    t, b2, ghg = gi_rf.shape
     b = gi_hat.shape[1]
-    assert b2 == 2 * b and gh3 == 3 * cfg.hidden_dim
+    gf = gate_factor(cfg.cell)
+    assert b2 == 2 * b and ghg == gf * cfg.hidden_dim
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    sl = state_slots(cfg.cell) * layers
     cdt = critic_compute_dtype(cfg)
 
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
@@ -182,33 +190,33 @@ def dcore_scan_forward(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, 2 * b, 3 * hidden), blk((0, 0)),
+            pl.BlockSpec((tb, 2 * b, gf * hidden), blk((0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)),
+            pl.BlockSpec((tb, b, gf * hidden), blk((0, 0)),
                          memory_space=pltpu.VMEM),
-            const((layers, 2 * b, hidden)),
+            const((sl, 2 * b, hidden)),
         ] + [const(x.shape) for x in w],
         out_specs=[
             pl.BlockSpec((tb, 2 * b, hidden), blk((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, 2 * b, hidden), blk((0, 0, 0)),
+            pl.BlockSpec((tb, sl, 2 * b, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, 2 * b, 4 * hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+            pl.BlockSpec((tb, sl, b, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            const((layers, 2 * b, hidden)),
+            const((sl, 2 * b, hidden)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, 2 * b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, layers, 2 * b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, 2 * b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, layers, 2 * b, 4 * hidden), cdt),
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, layers, b, 4 * hidden), cdt),
-            jax.ShapeDtypeStruct((layers, 2 * b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((sl, 2 * b, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((layers, 3 * b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sl, 3 * b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(gi_rf.astype(cdt), gi_hat.astype(cdt), h0_rf, *w)
@@ -236,6 +244,8 @@ def make_d_core(cfg: DiscriminatorConfig, tb: int = 8,
         raise ValueError("config not supported by the fused critic kernels")
     layers, hidden = cfg.rnn_layers, cfg.hidden_dim
 
+    sl = state_slots(cfg.cell) * layers
+
     def _forward_parts(gi_rf, gi_hat, gcot_hat, h0_rf, weights):
         b = gi_hat.shape[1]
         htop_rf, hprev_rf, gates_rf, hprev_hat, gates_hat, hfin_rf = (
@@ -244,7 +254,7 @@ def make_d_core(cfg: DiscriminatorConfig, tb: int = 8,
             )
         )
         a_in_hat, _dh0 = critic_cotangent_chain(
-            gcot_hat, jnp.zeros((layers, b, hidden), jnp.float32),
+            gcot_hat, jnp.zeros((sl, b, hidden), jnp.float32),
             hprev_hat, gates_hat, weights, cfg, tb=tb, interpret=interpret,
         )
         dgi_hat = input_grad_from_chain(a_in_hat, gates_hat, hprev_hat, cfg)
@@ -344,10 +354,13 @@ def fused_d_phase(
     w_score = params["step"]["score"]["kernel"].astype(jnp.float32)  # [H, 1]
     b_score = params["step"]["score"]["bias"].astype(jnp.float32)
     gcot = jnp.broadcast_to(w_score[:, 0] / t, (t, b, cfg.hidden_dim))
+    sl = state_slots(cfg.cell) * cfg.rnn_layers
     if carries is None:
-        h0_rf = jnp.zeros((cfg.rnn_layers, 2 * b, cfg.hidden_dim), jnp.float32)
+        h0_rf = jnp.zeros((sl, 2 * b, cfg.hidden_dim), jnp.float32)
     else:
-        h0_rf = jnp.concatenate(carries, axis=1)
+        h0_rf = jnp.concatenate(
+            [stack_rnn_carry(cfg.cell, cr) for cr in carries], axis=1
+        )
     weights = extract_critic_weights(params["step"]["core"], cfg)
 
     core = make_d_core(cfg, tb=tb, interpret=interpret)
@@ -363,5 +376,8 @@ def fused_d_phase(
     gp = jnp.mean((norms - 1.0) ** 2)
 
     if return_carries:
-        return s_real, s_fake, gp, (hfin_rf[:, :b], hfin_rf[:, b:])
+        return s_real, s_fake, gp, (
+            unstack_rnn_carry(cfg.cell, hfin_rf[:, :b], cfg.rnn_layers),
+            unstack_rnn_carry(cfg.cell, hfin_rf[:, b:], cfg.rnn_layers),
+        )
     return s_real, s_fake, gp

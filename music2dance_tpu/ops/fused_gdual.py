@@ -35,6 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import GeneratorConfig
+from .cell_math import cell_step as _cell_step
+from .cell_math import gate_factor, state_slots
 from .fused_generator import (
     cast_weights,
     compute_dtype,
@@ -42,8 +44,6 @@ from .fused_generator import (
     weight_names,
 )
 from .fused_generator_vjp import _chain_backward, _weight_grads
-from .gru_math import gru_gates as _gru_gates
-from .gru_math import pack_gates as _pack_gates
 
 
 def supports_dual(cfg: GeneratorConfig, b_fwd: int, interpret: bool) -> bool:
@@ -73,6 +73,7 @@ def _dual_fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
     h_scr, prev_scr = refs[k:]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static: branches fold at trace time
     cdt = compute_dtype(cfg)
     i = pl.program_id(0)
     weights = {n: r for n, r in zip(weight_names(cfg), w_refs)}
@@ -89,8 +90,7 @@ def _dual_fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
             prev = prev_scr[...]
             if save_acts:
                 pprev_ref[t] = prev[bf:]
-                for l in range(layers):
-                    hprev_ref[t, l] = h_scr[l][bf:]
+                hprev_ref[t] = h_scr[:, bf:]  # diff slice of all S*L rows
 
             x = gi_s.astype(jnp.float32) + jnp.dot(
                 prev.astype(cdt), weights["ih0_pose.kernel"][...],
@@ -99,15 +99,17 @@ def _dual_fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
             h_new = None
             for l in range(layers):
                 h = h_scr[l]
+                c = h_scr[layers + l] if lstm else None
                 gh = jnp.dot(
                     h.astype(cdt), weights[f"core.cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"core.cell_l{l}.hh.bias"][...]
-                r, z, n, hn = _gru_gates(x, gh, hidden)
+                h_new, c_new, stream = _cell_step(cfg.cell, x, gh, h, c, hidden)
                 if save_acts:
-                    gates_ref[t, l] = _pack_gates(r, z, n, hn).astype(cdt)[bf:]
-                h_new = (1.0 - z) * n + z * h
+                    gates_ref[t, l] = stream.astype(cdt)[bf:]
                 h_scr[l] = h_new
+                if lstm:
+                    h_scr[layers + l] = c_new
                 if l + 1 < layers:
                     x = jnp.dot(
                         h_new.astype(cdt),
@@ -142,9 +144,9 @@ def _dual_fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
 
 
 def dual_generator_forward(
-    gi_fwd: jax.Array,    # [Bf, T, 3H] hoisted projections, fwd-only rows
-    gi_diff: jax.Array,   # [Bd, T, 3H] hoisted projection, diff rows
-    h0: jax.Array,        # [L, Bf+Bd, H]
+    gi_fwd: jax.Array,    # [Bf, T, G*H] hoisted projections, fwd-only rows
+    gi_diff: jax.Array,   # [Bd, T, G*H] hoisted projection, diff rows
+    h0: jax.Array,        # [S*L, Bf+Bd, H] stacked state rows
     prev0: jax.Array,     # [Bf+Bd, P]
     weights: tuple,
     cfg: GeneratorConfig,
@@ -152,7 +154,7 @@ def dual_generator_forward(
     interpret: bool | None = None,
     save_acts: bool = False,
 ):
-    """Returns (poses_fwd [Bf,T,P], poses_diff [Bd,T,P], h_fin [L,Bf+Bd,H],
+    """Returns (poses_fwd [Bf,T,P], poses_diff [Bd,T,P], h_fin [S*L,Bf+Bd,H],
     p_fin [Bf+Bd,P]) — with ``save_acts``, (hprev, pprev, gates, ypre) of
     the DIFF rows appended (time-major, the fused_generator_vjp layout)."""
     if interpret is None:
@@ -162,6 +164,8 @@ def dual_generator_forward(
     if not supports_dual(cfg, bf, interpret):
         raise ValueError("config/shape not supported by the dual generator kernel")
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
+    g = gate_factor(cfg.cell)
+    sl = state_slots(cfg.cell) * layers
 
     cdt = compute_dtype(cfg)
 
@@ -184,18 +188,18 @@ def dual_generator_forward(
     out_specs = [
         pl.BlockSpec((tb, bf, p_dim), blk((0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, bd, p_dim), blk((0, 0)), memory_space=pltpu.VMEM),
-        const((layers, bf + bd, hidden)),
+        const((sl, bf + bd, hidden)),
         const((bf + bd, p_dim)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((t, bf, p_dim), jnp.float32),
         jax.ShapeDtypeStruct((t, bd, p_dim), jnp.float32),
-        jax.ShapeDtypeStruct((layers, bf + bd, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((sl, bf + bd, hidden), jnp.float32),
         jax.ShapeDtypeStruct((bf + bd, p_dim), jnp.float32),
     ]
     if save_acts:
         out_specs += [
-            pl.BlockSpec((tb, layers, bd, hidden), blk((0, 0, 0)),
+            pl.BlockSpec((tb, sl, bd, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, bd, p_dim), blk((0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, bd, 4 * hidden), blk((0, 0, 0)),
@@ -204,7 +208,7 @@ def dual_generator_forward(
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((t, layers, bd, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, bd, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, bd, p_dim), jnp.float32),
             jax.ShapeDtypeStruct((t, layers, bd, 4 * hidden), cdt),
             jax.ShapeDtypeStruct((t, bd, cfg.head_hidden), jnp.float32),
@@ -214,15 +218,15 @@ def dual_generator_forward(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, bf, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, bd, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
-            const((layers, bf + bd, hidden)),
+            pl.BlockSpec((tb, bf, g * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, bd, g * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+            const((sl, bf + bd, hidden)),
             const((bf + bd, p_dim)),
         ] + [const(w.shape) for w in weights],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((layers, bf + bd, hidden), jnp.float32),
+            pltpu.VMEM((sl, bf + bd, hidden), jnp.float32),
             pltpu.VMEM((bf + bd, p_dim), jnp.float32),
         ],
         interpret=interpret,
@@ -303,9 +307,10 @@ def make_dual_scan(cfg: GeneratorConfig, b_fwd: int, tb: int = 4,
         cdt = compute_dtype(cfg)
         dgi_diff = jnp.swapaxes(dgi_static_tm, 0, 1).astype(cdt)
         dgi_fwd = jnp.zeros((bf,) + dgi_diff.shape[1:], cdt)
-        layers, hidden = cfg.rnn_layers, cfg.hidden_dim
+        hidden = cfg.hidden_dim
+        sl = state_slots(cfg.cell) * cfg.rnn_layers
         dh0 = jnp.concatenate(
-            [jnp.zeros((layers, bf, hidden), jnp.float32), dh0_d], axis=1
+            [jnp.zeros((sl, bf, hidden), jnp.float32), dh0_d], axis=1
         )
         dprev0 = jnp.concatenate(
             [jnp.zeros((bf, cfg.pose_dim), jnp.float32), dprev0_d], axis=0
@@ -372,7 +377,8 @@ def fused_dual_apply(
     gi_diff = gis[n_fwd]
 
     bt = (n_fwd + 1) * b
-    h0 = jnp.zeros((cfg.rnn_layers, bt, cfg.hidden_dim), jnp.float32)
+    sl = state_slots(cfg.cell) * cfg.rnn_layers
+    h0 = jnp.zeros((sl, bt, cfg.hidden_dim), jnp.float32)
     prev0 = jnp.zeros((bt, cfg.pose_dim), jnp.float32)
     weights = extract_step_weights(params["step"], cfg)
 

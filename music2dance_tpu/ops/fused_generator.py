@@ -42,8 +42,8 @@ def why_not_fused(cfg: GeneratorConfig, interpret: bool) -> str | None:
     """None when the fused generator kernels apply; else a human-readable
     reason (surfaced as a one-time warning by train/step.py so an XLA
     fallback is never silent — a fallback costs ~3.4x in steps/s)."""
-    if cfg.cell != "gru":
-        return f"generator cell={cfg.cell!r} (kernels implement GRU only)"
+    if cfg.cell not in ("gru", "lstm"):
+        return f"generator cell={cfg.cell!r} (kernels implement GRU and LSTM)"
     if not cfg.autoregressive:
         return "generator autoregressive=False (teacher-forcing scan is XLA-only)"
     if cfg.dtype not in ("float32", "bfloat16"):
@@ -117,8 +117,8 @@ def extract_step_weights(step_params: Any, cfg: GeneratorConfig) -> tuple:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-from .gru_math import gru_gates as _gru_gates  # shared gate algebra
-from .gru_math import pack_gates as _pack_gates
+from .cell_math import cell_step as _cell_step
+from .cell_math import gate_factor, state_slots
 
 
 def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
@@ -133,6 +133,7 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
     h_scr, prev_scr = refs[k:]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static: branches fold at trace time
     cdt = compute_dtype(cfg)
     i = pl.program_id(0)
 
@@ -146,11 +147,11 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
     def step(t, _):
         @pl.when(i * tb + t < t_total)
         def _():
-            gi_s = gi_ref[t]          # [B, 3H] compute dtype
+            gi_s = gi_ref[t]          # [B, G*H] compute dtype
             prev = prev_scr[...]      # [B, P] f32 carry
             pprev_ref[t] = prev
-            for l in range(layers):
-                hprev_ref[t, l] = h_scr[l]
+            # all S*L state rows entering this step (h rows, then c rows)
+            hprev_ref[t] = h_scr[...]
 
             x = gi_s.astype(jnp.float32) + jnp.dot(
                 prev.astype(cdt), weights["ih0_pose.kernel"][...],
@@ -159,15 +160,17 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
             h_new = None
             for l in range(layers):
                 h = h_scr[l]
+                c = h_scr[layers + l] if lstm else None
                 gh = jnp.dot(
                     h.astype(cdt), weights[f"core.cell_l{l}.hh.kernel"][...],
                     preferred_element_type=jnp.float32,
                 ) + weights[f"core.cell_l{l}.hh.bias"][...]
-                r, z, n, hn = _gru_gates(x, gh, hidden)
+                h_new, c_new, stream = _cell_step(cfg.cell, x, gh, h, c, hidden)
                 if save_acts:
-                    gates_ref[t, l] = _pack_gates(r, z, n, hn).astype(cdt)
-                h_new = (1.0 - z) * n + z * h
+                    gates_ref[t, l] = stream.astype(cdt)
                 h_scr[l] = h_new
+                if lstm:
+                    h_scr[layers + l] = c_new
                 if l + 1 < layers:
                     x = jnp.dot(
                         h_new.astype(cdt), weights[f"core.ih_l{l + 1}.kernel"][...],
@@ -201,7 +204,7 @@ def _fwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int,
 
 def fused_generator_forward(
     gi_static: jax.Array,   # [B, T, G*H] hoisted input projection (batch-major)
-    h0: jax.Array,          # [L, B, H]
+    h0: jax.Array,          # [S*L, B, H] stacked state (h rows, then c rows)
     prev0: jax.Array,       # [B, P]
     weights: tuple,         # extract_step_weights order
     cfg: GeneratorConfig,
@@ -209,21 +212,26 @@ def fused_generator_forward(
     interpret: bool | None = None,
     save_acts: bool = False,
 ):
-    """Returns (poses [B,T,P], hprev [T,L,B,H], pprev [T,B,P],
-    h_final [L,B,H], prev_final [B,P]) — plus, with ``save_acts``,
+    """Returns (poses [B,T,P], hprev [T,S*L,B,H], pprev [T,B,P],
+    h_final [S*L,B,H], prev_final [B,P]) — plus, with ``save_acts``,
     (gates [T,L,B,4H], ypre [T,B,head_hidden]) appended: the saved
     forward streams that let the backward kernel and the weight-grad
-    panels skip every forward-recompute matmul."""
+    panels skip every forward-recompute matmul. State arrays follow the
+    cell_math stacking convention (S=1 for GRU — identical to the
+    original GRU-only shapes; S=2 for LSTM: h layers then c layers)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not supports_fused(cfg, interpret):
         raise ValueError("config not supported by the fused generator kernel")
 
-    b, t, gh3 = gi_static.shape
+    b, t, ghg = gi_static.shape
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
-    assert gh3 == 3 * hidden
+    g = gate_factor(cfg.cell)
+    sl = state_slots(cfg.cell) * layers
+    assert ghg == g * hidden
+    assert h0.shape[0] == sl
 
-    gi_tm = jnp.swapaxes(gi_static, 0, 1).astype(compute_dtype(cfg))  # [T, B, 3H]
+    gi_tm = jnp.swapaxes(gi_static, 0, 1).astype(compute_dtype(cfg))  # [T, B, G*H]
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
 
     # biases as [1, D] rows (TPU wants >= 2D); kernels in compute dtype
@@ -242,17 +250,17 @@ def fused_generator_forward(
 
     out_specs = [
         pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, layers, b, hidden), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((tb, sl, b, hidden), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, b, p_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        const((layers, b, hidden)),
+        const((sl, b, hidden)),
         const((b, p_dim)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
-        jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
         jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
-        jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((sl, b, hidden), jnp.float32),
         jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
     ]
     if save_acts:
@@ -271,15 +279,15 @@ def fused_generator_forward(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, b, 3 * hidden), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, b, g * hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
             const((b, p_dim)),
         ] + [const(w.shape) for w in weights],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((layers, b, hidden), jnp.float32),
+            pltpu.VMEM((sl, b, hidden), jnp.float32),
             pltpu.VMEM((b, p_dim), jnp.float32),
         ],
         interpret=interpret,
@@ -336,18 +344,22 @@ def fused_apply(
     Same contract: poses [B, T, P] (+ final carry), same parameters, same
     numerics up to matmul rounding (tests/test_fused_generator.py).
     """
+    from .cell_math import stack_rnn_carry, unstack_rnn_carry
+
     params = variables.get("params", variables)
     b = feats.shape[0]
     gi = compute_gi_static(params, cfg, feats, z)
     if carry is None:
-        h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        sl = state_slots(cfg.cell) * cfg.rnn_layers
+        h0 = jnp.zeros((sl, b, cfg.hidden_dim), jnp.float32)
         prev0 = jnp.zeros((b, cfg.pose_dim), jnp.float32)
     else:
-        h0, prev0 = carry
+        rnn_carry, prev0 = carry
+        h0 = stack_rnn_carry(cfg.cell, rnn_carry)
     w = extract_step_weights(params["step"], cfg)
     poses, _hprev, _pprev, h_fin, p_fin = fused_generator_forward(
         gi, h0, prev0, w, cfg, tb=tb, interpret=interpret
     )
     if return_carry:
-        return poses, (h_fin, p_fin)
+        return poses, (unstack_rnn_carry(cfg.cell, h_fin, cfg.rnn_layers), p_fin)
     return poses

@@ -33,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import GeneratorConfig
-from .gru_math import acts_from_saved
-from .gru_math import gate_cotangents as _gate_cotangents
+from .cell_math import acts_from_saved as _cell_acts
+from .cell_math import gate_cotangents as _cell_cots
+from .cell_math import state_slots
+from .gru_math import gate_cotangents as _gate_cotangents  # GRU fast path (fused_gp)
 from .fused_generator import (
     cast_weights,
     compute_dtype,
@@ -55,6 +57,7 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
     dh_scr, dprev_scr = refs[10 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static
     names = weight_names(cfg)
     w_ref_map = {n: r for n, r in zip(names, w_refs)}
 
@@ -85,9 +88,13 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
 
         @pl.when((n_blocks - 1 - i) * tb + t < t_total)
         def _():
-            acts = acts_from_saved(
+            acts = _cell_acts(
+                cfg.cell,
                 [gates_ref[t, l] for l in range(layers)],
-                [hprev_ref[t, l] for l in range(layers)], hidden,
+                [hprev_ref[t, l] for l in range(layers)],
+                [hprev_ref[t, layers + l] for l in range(layers)] if lstm
+                else [None] * layers,
+                hidden,
             )
 
             dpose_total = gp_ref[t] + dprev_scr[...]
@@ -103,9 +110,14 @@ def _bwd_kernel(*refs, cfg: GeneratorConfig, tb: int, t_total: int, n_weights: i
             dgi0 = None
             for l in range(layers - 1, -1, -1):
                 a = dh_scr[l] + dfrom_above
+                ac = dh_scr[layers + l] if lstm else None
                 dhin_ref[t, l] = a
-                dgi, dgh, dh_partial = _gate_cotangents(a, acts[l])
-                dh_scr[l] = dh_partial + dot_t(dgh, weights[f"core.cell_l{l}.hh.kernel"])
+                if lstm:
+                    dhin_ref[t, layers + l] = ac
+                dgi, dgh, h_part, c_part = _cell_cots(cfg.cell, a, ac, acts[l])
+                dh_scr[l] = h_part + dot_t(dgh, weights[f"core.cell_l{l}.hh.kernel"])
+                if lstm:
+                    dh_scr[layers + l] = c_part
                 if l > 0:
                     dfrom_above = dot_t(dgi, weights[f"core.ih_l{l}.kernel"])
                 else:
@@ -133,6 +145,7 @@ def _chain_backward(
     (uneven trailing grid block; the kernel masks)."""
     b = hprev.shape[2]
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
+    sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)
     names = weight_names(cfg)
 
@@ -148,28 +161,28 @@ def _chain_backward(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((tb, b, p_dim), rev((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, sl, b, hidden), rev((0, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), rev((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, b, cfg.head_hidden), rev((0, 0)),
                          memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
             const((b, p_dim)),
         ] + [const(w.shape) for w in weights],
         out_specs=[
-            pl.BlockSpec((tb, layers, b, hidden), rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, sl, b, hidden), rev((0, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, b, p_dim), rev((0, 0)), memory_space=pltpu.VMEM),
-            const((layers, b, hidden)),
+            const((sl, b, hidden)),
             const((b, p_dim)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, b, p_dim), jnp.float32),
-            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((sl, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((b, p_dim), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((layers, b, hidden), jnp.float32),
+            pltpu.VMEM((sl, b, hidden), jnp.float32),
             pltpu.VMEM((b, p_dim), jnp.float32),
         ],
         interpret=interpret,
@@ -189,9 +202,14 @@ def _weight_grads(dh_in, dpose, pprev, hprev, gates, ypre, weights_dict, cfg):
     bfloat16 configs — fused_generator.cast_weights); every panel matmul
     casts its operands to that dtype and accumulates in f32."""
     layers = cfg.rnn_layers
-    acts = acts_from_saved(
+    lstm = cfg.cell == "lstm"
+    acts = _cell_acts(
+        cfg.cell,
         [gates[:, l] for l in range(layers)],
-        [hprev[:, l] for l in range(layers)], cfg.hidden_dim,
+        [hprev[:, l] for l in range(layers)],
+        [hprev[:, layers + l] for l in range(layers)] if lstm
+        else [None] * layers,
+        cfg.hidden_dim,
     )
     y = jax.nn.relu(ypre)
     h_top = acts[-1]["h_new"]
@@ -219,7 +237,8 @@ def _weight_grads(dh_in, dpose, pprev, hprev, gates, ypre, weights_dict, cfg):
     dgi0 = None
     for l in range(layers - 1, -1, -1):
         a = dh_in[:, l]
-        dgi, dgh, _ = _gate_cotangents(a, acts[l])
+        ac = dh_in[:, layers + l] if lstm else None
+        dgi, dgh, _, _ = _cell_cots(cfg.cell, a, ac, acts[l])
         grads[f"core.cell_l{l}.hh.kernel"] = grad_mm(
             acts[l]["h"], dgh, wd[f"core.cell_l{l}.hh.kernel"]
         )
@@ -314,19 +333,22 @@ def fused_apply_diff(
     the sequential scan uses the custom-VJP fused kernel. Drop-in for
     Generator.apply in the generator phase of training.
     """
+    from .cell_math import stack_rnn_carry, unstack_rnn_carry
     from .fused_generator import compute_gi_static, extract_step_weights
 
     params = variables.get("params", variables)
     b = feats.shape[0]
     gi = compute_gi_static(params, cfg, feats, z)
     if carry is None:
-        h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        sl = state_slots(cfg.cell) * cfg.rnn_layers
+        h0 = jnp.zeros((sl, b, cfg.hidden_dim), jnp.float32)
         prev0 = jnp.zeros((b, cfg.pose_dim), jnp.float32)
     else:
-        h0, prev0 = carry
+        rnn_carry, prev0 = carry
+        h0 = stack_rnn_carry(cfg.cell, rnn_carry)
     weights = extract_step_weights(params["step"], cfg)
     scan_fn = make_fused_scan(cfg, tb=tb, interpret=interpret)
     poses, h_fin, p_fin = scan_fn(gi, h0, prev0, weights)
     if return_carry:
-        return poses, (h_fin, p_fin)
+        return poses, (unstack_rnn_carry(cfg.cell, h_fin, cfg.rnn_layers), p_fin)
     return poses

@@ -55,9 +55,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import DiscriminatorConfig
-from .fused_generator_vjp import _gate_cotangents
+from .cell_math import gate_cotangents as _cell_cots
+from .cell_math import gate_factor, state_slots
+from .cell_math import state_tangent_new as _state_tan_new
+from .cell_math import tangent_cotangents as _cell_tan_cots
+from .cell_math import tangent_gates as _cell_tan_gates
+from .cell_math import tans_from_saved as _cell_tans
 from .fused_critic import (
-    _pack_gates,
     acts_from_saved,
     cast_critic_weights,
     col_sum,
@@ -71,62 +75,16 @@ from .fused_critic import (
 
 
 # ---------------------------------------------------------------------------
-# Shared tangent-step algebra (traced into K3/K4 and into the XLA panels)
+# Tangent-step algebra — cell-generic, lives in ops/cell_math.py (GRU rules
+# identical to the original hand-derived ones; LSTM added round 3). These
+# thin wrappers bind the config's cell and hidden size.
 # ---------------------------------------------------------------------------
 
-def _tangent_gates(act, xd, ghd, hidden):
-    """JVP of the gate nonlinearities given primal gates (saved) and the
-    input/hidden-side pre-activation tangents. Returns (rd, zd, nd, ghd_n)."""
-    r, z, n, hn = act["r"], act["z"], act["n"], act["hn"]
-    xd_r, xd_z, xd_n = xd[..., :hidden], xd[..., hidden:2 * hidden], xd[..., 2 * hidden:]
-    ghd_r, ghd_z, ghd_n = ghd[..., :hidden], ghd[..., hidden:2 * hidden], ghd[..., 2 * hidden:]
-    rd = r * (1.0 - r) * (xd_r + ghd_r)
-    zd = z * (1.0 - z) * (xd_z + ghd_z)
-    nd = (1.0 - n * n) * (xd_n + rd * hn + r * ghd_n)
-    return rd, zd, nd, ghd_n
-
-
-def _hd_new(act, tan):
-    """Tangent of h_new = (1-z)n + z·h, elementwise from saved streams."""
-    return (-tan["zd"] * act["n"] + (1.0 - act["z"]) * tan["nd"]
-            + tan["zd"] * act["h"] + act["z"] * tan["hd"])
-
-
-def tans_from_saved(tgates, hdot_layers, cfg):
-    """Per-layer tangent dicts {hd, rd, zd, nd, ghd_n} from K3's streams."""
-    hd_dim = cfg.hidden_dim
-    tans = []
-    for l in range(len(tgates)):
-        g = tgates[l].astype(jnp.float32)
-        tans.append({
-            "hd": hdot_layers[l],
-            "rd": g[..., :hd_dim],
-            "zd": g[..., hd_dim:2 * hd_dim],
-            "nd": g[..., 2 * hd_dim:3 * hd_dim],
-            "ghd_n": g[..., 3 * hd_dim:],
-        })
-    return tans
-
-
-def _tangent_cotangents(a, adot, act, tan):
-    """ε-derivatives of the gate cotangents.
-
-    Primal (see fused_generator_vjp._gate_cotangents):
-      dn = a(1-z)(1-n²); dz = a(h-n)z(1-z); dr = dn·hn·r(1-r)
-    Returns (dgi_d, dgh_d, chain_part) where chain_part = ȧ·z + a·ż
-    (the dgh_d @ Wᵀ term is added by the caller)."""
-    h, hn, r, z, n = act["h"], act["hn"], act["r"], act["z"], act["n"]
-    hd, rd, zd, nd, ghd_n = tan["hd"], tan["rd"], tan["zd"], tan["nd"], tan["ghd_n"]
-    dn = a * (1.0 - z) * (1.0 - n * n)
-    dn_d = adot * (1.0 - z) * (1.0 - n * n) - a * zd * (1.0 - n * n) \
-        - 2.0 * a * (1.0 - z) * n * nd
-    dz_d = adot * (h - n) * z * (1.0 - z) + a * (hd - nd) * z * (1.0 - z) \
-        + a * (h - n) * zd * (1.0 - 2.0 * z)
-    dr_d = dn_d * hn * r * (1.0 - r) + dn * ghd_n * r * (1.0 - r) \
-        + dn * hn * rd * (1.0 - 2.0 * r)
-    dgi_d = jnp.concatenate([dr_d, dz_d, dn_d], axis=-1)
-    dgh_d = jnp.concatenate([dr_d, dz_d, dn_d * r + dn * rd], axis=-1)
-    return dgi_d, dgh_d, adot * z + a * zd
+def tans_from_saved(tgates, hdot_layers, cfg, cdot_layers=None):
+    """Per-layer tangent dicts from K3's saved streams (cell-dispatched)."""
+    if cdot_layers is None:
+        cdot_layers = [None] * len(tgates)
+    return _cell_tans(cfg.cell, tgates, hdot_layers, cdot_layers, cfg.hidden_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +99,7 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     (hdot_scr,) = refs[6 + n_weights :]
 
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static
     weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
     i = pl.program_id(0)
 
@@ -152,21 +111,27 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
         @pl.when(i * tb + t < t_total)
         def _():
             xd = u_ref[t]
+            # all S*L tangent state rows entering this step
+            hdotprev_ref[t] = hdot_scr[...]
             hd_new = None
             for l in range(layers):
-                acts = acts_from_saved([gates_ref[t, l]], [hprev_ref[t, l]], cfg)
-                act = acts[0]
+                act = acts_from_saved(
+                    [gates_ref[t, l]], [hprev_ref[t, l]], cfg,
+                    [hprev_ref[t, layers + l]] if lstm else None,
+                )[0]
                 hd = hdot_scr[l]
-                hdotprev_ref[t, l] = hd
+                cd = hdot_scr[layers + l] if lstm else None
                 w = weights_map[f"cell_l{l}.hh.kernel"][...]
                 ghd = jnp.dot(hd.astype(w.dtype), w,
                               preferred_element_type=jnp.float32)
-                rd, zd, nd, ghd_n = _tangent_gates(act, xd, ghd, hidden)
-                tgates_ref[t, l] = _pack_gates(rd, zd, nd, ghd_n).astype(
-                    tgates_ref.dtype
-                )
-                hd_new = _hd_new(act, {"hd": hd, "rd": rd, "zd": zd, "nd": nd})
+                tstream = _cell_tan_gates(cfg.cell, act, xd, ghd, hidden)
+                tgates_ref[t, l] = tstream.astype(tgates_ref.dtype)
+                tan = tans_from_saved([tstream], [hd], cfg,
+                                      [cd] if lstm else None)[0]
+                hd_new, cd_new = _state_tan_new(cfg.cell, act, tan)
                 hdot_scr[l] = hd_new
+                if lstm:
+                    hdot_scr[layers + l] = cd_new
                 if l + 1 < layers:
                     u_w = weights_map[f"ih_l{l + 1}.kernel"][...]
                     xd = jnp.dot(hd_new.astype(u_w.dtype), u_w,
@@ -179,12 +144,14 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
 
 
 def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
-    """Returns (hdotprev [T,L,B,H], tgates [T,L,B,4H], hdottop [T,B,H])
+    """Returns (hdotprev [T,S*L,B,H], tgates [T,L,B,4H], hdottop [T,B,H])
     for the input tangent ġi = u."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, b, _ = u_tm.shape
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    g = gate_factor(cfg.cell)
+    sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
@@ -198,26 +165,26 @@ def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tb, b, 3 * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+            pl.BlockSpec((tb, b, g * hidden), blk((0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, sl, b, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ] + [const(x.shape) for x in w],
         out_specs=[
-            pl.BlockSpec((tb, layers, b, hidden), blk((0, 0, 0)),
+            pl.BlockSpec((tb, sl, b, hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, layers, b, 4 * hidden), blk((0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, b, hidden), blk((0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, layers, b, 4 * hidden),
                                  critic_compute_dtype(cfg)),
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sl, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(u_tm, hprev, gates, *w)
@@ -236,6 +203,7 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     (dhdot_scr,) = refs[6 + n_weights :]
 
     layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"  # static
     weights_map = {n: r for n, r in zip(critic_weight_names(cfg), w_refs)}
 
     class _Lazy:
@@ -262,15 +230,29 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
         def _():
             dabove_dot = jnp.zeros_like(hdotprev_ref[t, 0])  # ġcot = 0
             for l in range(layers - 1, -1, -1):
-                act = acts_from_saved([gates_ref[t, l]], [hprev_ref[t, l]], cfg)[0]
-                tan = tans_from_saved([tgates_ref[t, l]], [hdotprev_ref[t, l]], cfg)[0]
+                act = acts_from_saved(
+                    [gates_ref[t, l]], [hprev_ref[t, l]], cfg,
+                    [hprev_ref[t, layers + l]] if lstm else None,
+                )[0]
+                tan = tans_from_saved(
+                    [tgates_ref[t, l]], [hdotprev_ref[t, l]], cfg,
+                    [hdotprev_ref[t, layers + l]] if lstm else None,
+                )[0]
                 a = ain_ref[t, l]
+                ac = ain_ref[t, layers + l] if lstm else None
                 adot = dhdot_scr[l] + dabove_dot
+                acdot = dhdot_scr[layers + l] if lstm else None
                 adot_ref[t, l] = adot
-                dgi_d, dgh_d, chain_part = _tangent_cotangents(a, adot, act, tan)
-                dhdot_scr[l] = chain_part + dot_t(
+                if lstm:
+                    adot_ref[t, layers + l] = acdot
+                dgi_d, dgh_d, h_chain_d, c_chain_d = _cell_tan_cots(
+                    cfg.cell, a, adot, ac, acdot, act, tan
+                )
+                dhdot_scr[l] = h_chain_d + dot_t(
                     dgh_d, weights[f"cell_l{l}.hh.kernel"]
                 )
+                if lstm:
+                    dhdot_scr[layers + l] = c_chain_d
                 if l > 0:
                     dabove_dot = dot_t(dgi_d, weights[f"ih_l{l}.kernel"])
 
@@ -281,12 +263,14 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
 
 def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
                             tb=8, interpret=None):
-    """Returns adot_in [T,L,B,H]: tangents of the incoming hidden cotangents."""
+    """Returns adot_in [T,S*L,B,H]: tangents of the incoming state
+    cotangents (h rows first, then the LSTM cell-cotangent rows)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t = a_in.shape[0]
     b = a_in.shape[2]
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
+    sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
     w = cast_critic_weights(weights, cfg)
 
@@ -297,24 +281,24 @@ def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
                                        memory_space=pltpu.VMEM)
     rev = lambda tail: (lambda i: (n_blocks - 1 - i,) + tail)
     l4 = (tb, layers, b, 4 * hidden)
-    l1 = (tb, layers, b, hidden)
+    ls = (tb, sl, b, hidden)
     (adot_in,) = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ls, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ls, rev((0, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec(l4, rev((0, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec(l4, rev((0, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ls, rev((0, 0, 0)), memory_space=pltpu.VMEM),
         ] + [const(x.shape) for x in w],
         out_specs=[
-            pl.BlockSpec(l1, rev((0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ls, rev((0, 0, 0)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, layers, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, sl, b, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((layers, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sl, b, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(hprev, hdotprev, gates, tgates, a_in, *w)
@@ -330,17 +314,20 @@ def tangent_panel_grads(a_in, adot_in, gates, tgates, hprev, hdotprev,
     """Assemble ∂_ε ∇_θ Φ and ∂_ε ∇_gi Φ over [T*B] panels — everything is
     local per step given the saved streams; no matmul recompute.
 
-    Returns (dweights dict keyed by critic_weight_names, dgi_d [T,B,3H])."""
+    Returns (dweights dict keyed by critic_weight_names, dgi_d [T,B,G*H])."""
     layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"
     names = critic_weight_names(cfg)
     wd = dict(zip(names, cast_critic_weights(weights, cfg)))
     acts = acts_from_saved(
         [gates[:, l] for l in range(layers)],
         [hprev[:, l] for l in range(layers)], cfg,
+        [hprev[:, layers + l] for l in range(layers)] if lstm else None,
     )
     tans = tans_from_saved(
         [tgates[:, l] for l in range(layers)],
         [hdotprev[:, l] for l in range(layers)], cfg,
+        [hdotprev[:, layers + l] for l in range(layers)] if lstm else None,
     )
 
     def panel(x):
@@ -356,16 +343,21 @@ def tangent_panel_grads(a_in, adot_in, gates, tgates, hprev, hdotprev,
     dgi0_d = None
     for l in range(layers - 1, -1, -1):
         a, adot = a_in[:, l], adot_in[:, l]
-        dgi, dgh, _ = _gate_cotangents(a, acts[l])
-        dgi_d, dgh_d, _ = _tangent_cotangents(a, adot, acts[l], tans[l])
+        ac = a_in[:, layers + l] if lstm else None
+        acdot = adot_in[:, layers + l] if lstm else None
+        dgi, dgh, _, _ = _cell_cots(cfg.cell, a, ac, acts[l])
+        dgi_d, dgh_d, _, _ = _cell_tan_cots(
+            cfg.cell, a, adot, ac, acdot, acts[l], tans[l]
+        )
         wk = wd[f"cell_l{l}.hh.kernel"]
         grads[f"cell_l{l}.hh.kernel"] = grad_mm(acts[l]["h"], dgh_d, wk) \
             + grad_mm(tans[l]["hd"], dgh, wk)
         grads[f"cell_l{l}.hh.bias"] = col_sum(panel(dgh_d), wk)
         if l > 0:
             uk = wd[f"ih_l{l}.kernel"]
+            below_hd, _ = _state_tan_new(cfg.cell, acts[l - 1], tans[l - 1])
             grads[f"ih_l{l}.kernel"] = grad_mm(acts[l - 1]["h_new"], dgi_d, uk) \
-                + grad_mm(_hd_new(acts[l - 1], tans[l - 1]), dgi, uk)
+                + grad_mm(below_hd, dgi, uk)
             grads[f"ih_l{l}.bias"] = col_sum(panel(dgi_d), uk)
         else:
             dgi0_d = dgi_d.astype(critic_compute_dtype(cfg))
@@ -419,7 +411,8 @@ def make_scan_input_grad(cfg: DiscriminatorConfig, tb: int = 8,
 
     def _forward_parts(gi_tm, gcot_tm, weights):
         b = gi_tm.shape[1]
-        h0 = jnp.zeros((cfg.rnn_layers, b, cfg.hidden_dim), jnp.float32)
+        sl = state_slots(cfg.cell) * cfg.rnn_layers
+        h0 = jnp.zeros((sl, b, cfg.hidden_dim), jnp.float32)
         _htop, hprev, gates, _hfin = critic_scan_forward(
             gi_tm, h0, weights, cfg, tb=tb, interpret=interpret
         )

@@ -26,9 +26,20 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize with TPU auto-detection when args are None."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """jax.distributed.initialize with TPU auto-detection when args are None.
+
+    The already-initialized guard must NOT touch the backend —
+    ``jax.process_count()`` would initialize XLA and make the subsequent
+    ``jax.distributed.initialize`` an error — so it inspects the
+    distributed client state directly."""
+    try:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # jax internals moved: fall through, initialize() will raise
+              # its own clear error if called twice
     kwargs = {}
     if coordinator_address is not None:
         kwargs = {

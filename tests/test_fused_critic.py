@@ -16,11 +16,11 @@ LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 B, T, F = 3, 21, 13
 
 
-def make_disc(layers=1, conditional=True, dilation=1):
+def make_disc(layers=1, conditional=True, dilation=1, cell="gru"):
     cfg = DiscriminatorConfig(
         layout=LAYOUT, feature_dim=F, conditional=conditional,
         conv_dim=16, conv_layers=2, conv_kernel=3, conv_dilation=dilation,
-        hidden_dim=32, rnn_layers=layers,
+        hidden_dim=32, rnn_layers=layers, cell=cell,
     )
     disc = Discriminator(cfg)
     poses = jax.random.normal(jax.random.key(0), (B, T, LAYOUT.pose_dim))
@@ -36,13 +36,14 @@ def test_supports_guards():
     tcn = DiscriminatorConfig(**{**cfg.__dict__, "rnn_layers": 0})
     assert not supports_fused_critic(tcn, interpret=True)
     lstm = DiscriminatorConfig(**{**cfg.__dict__, "cell": "lstm"})
-    assert not supports_fused_critic(lstm, interpret=True)
+    assert supports_fused_critic(lstm, interpret=True)  # LSTM kernels: round 3
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
 @pytest.mark.parametrize("conditional", [True, False])
-def test_forward_equivalence(layers, conditional):
-    cfg, disc, params, poses, feats = make_disc(layers, conditional)
+def test_forward_equivalence(layers, conditional, cell):
+    cfg, disc, params, poses, feats = make_disc(layers, conditional, cell=cell)
     f = feats if conditional else None
     ref = np.asarray(disc.apply(params, poses, f))
     out = np.asarray(fused_critic_apply(params, cfg, poses, f))
@@ -65,10 +66,11 @@ def test_forward_with_dilation_and_carry():
     np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
-def test_grads_match_xla(layers):
+def test_grads_match_xla(layers, cell):
     """First-order grads wrt params AND poses (the custom VJP path)."""
-    cfg, disc, params, poses, feats = make_disc(layers)
+    cfg, disc, params, poses, feats = make_disc(layers, cell=cell)
     w = jax.random.normal(jax.random.key(3), (B,))
 
     def loss_ref(p, x):

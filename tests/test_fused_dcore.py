@@ -18,11 +18,11 @@ LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 B, T, F = 3, 21, 13
 
 
-def setup(layers=1, conditional=True):
+def setup(layers=1, conditional=True, cell="gru"):
     cfg = DiscriminatorConfig(
         layout=LAYOUT, feature_dim=F, conditional=conditional,
         conv_dim=16, conv_layers=2, conv_kernel=3,
-        hidden_dim=32, rnn_layers=layers,
+        hidden_dim=32, rnn_layers=layers, cell=cell,
     )
     disc = Discriminator(cfg)
     ks = jax.random.split(jax.random.key(0), 6)
@@ -69,10 +69,12 @@ def d_loss_xla(params, cfg, disc, real, fake, x_hat, feats):
     )
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
 @pytest.mark.parametrize("conditional", [True, False])
-def test_forward_matches_unmerged(layers, conditional):
-    cfg, _disc, params, real, fake, x_hat, feats = setup(layers, conditional)
+def test_forward_matches_unmerged(layers, conditional, cell):
+    cfg, _disc, params, real, fake, x_hat, feats = setup(layers, conditional,
+                                                         cell=cell)
     (_, (sr_m, sf_m, gp_m)) = d_loss_merged(params, cfg, real, fake, x_hat, feats)
     (_, (sr_u, sf_u, gp_u)) = d_loss_unmerged(params, cfg, real, fake, x_hat, feats)
     np.testing.assert_allclose(np.asarray(sr_m), np.asarray(sr_u), rtol=1e-6)
@@ -80,11 +82,12 @@ def test_forward_matches_unmerged(layers, conditional):
     np.testing.assert_allclose(float(gp_m), float(gp_u), rtol=1e-6)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
-def test_grads_match_xla_second_order(layers):
+def test_grads_match_xla_second_order(layers, cell):
     """Parameter gradients of the full critic loss (incl. the GP's
     second-order term) through the merged op vs pure-XLA autodiff."""
-    cfg, disc, params, real, fake, x_hat, feats = setup(layers)
+    cfg, disc, params, real, fake, x_hat, feats = setup(layers, cell=cell)
 
     g_merged = jax.grad(
         lambda p: d_loss_merged(p, cfg, real, fake, x_hat, feats)[0]
@@ -104,14 +107,24 @@ def test_grads_match_xla_second_order(layers):
         )
 
 
-def test_tbptt_carries_match_unmerged():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_tbptt_carries_match_unmerged(cell):
     """With nonzero incoming carries the merged op must return the same
     scores and final real/fake stream states as two separate fused
     critic passes (zero-carry GP unaffected)."""
-    cfg, _disc, params, real, fake, x_hat, feats = setup(layers=2)
+    cfg, _disc, params, real, fake, x_hat, feats = setup(layers=2, cell=cell)
     k = jax.random.key(9)
-    c_real = jax.random.normal(k, (cfg.rnn_layers, B, cfg.hidden_dim)) * 0.3
-    c_fake = jax.random.normal(k, (cfg.rnn_layers, B, cfg.hidden_dim)) * 0.2
+
+    def mk_carry(scale):
+        hs = jax.random.normal(k, (cfg.rnn_layers, B, cfg.hidden_dim)) * scale
+        if cell == "gru":
+            return hs
+        cs = jax.random.normal(jax.random.fold_in(k, 1),
+                               (cfg.rnn_layers, B, cfg.hidden_dim)) * scale
+        return (hs, cs)
+
+    c_real = mk_carry(0.3)
+    c_fake = mk_carry(0.2)
 
     s_real, s_fake, gp, (fin_r, fin_f) = fused_d_phase(
         params, cfg, real, fake, x_hat, feats,
@@ -128,5 +141,7 @@ def test_tbptt_carries_match_unmerged():
     np.testing.assert_allclose(np.asarray(s_real), np.asarray(sr_u), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s_fake), np.asarray(sf_u), rtol=1e-6)
     np.testing.assert_allclose(float(gp), float(gp_u), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(fin_r), np.asarray(fin_r_u), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(fin_f), np.asarray(fin_f_u), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(fin_r), jax.tree.leaves(fin_r_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(fin_f), jax.tree.leaves(fin_f_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -17,11 +17,11 @@ LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 B, T, F = 3, 17, 11
 
 
-def setup(layers=2):
+def setup(layers=2, cell="gru"):
     cfg = GeneratorConfig(
         layout=LAYOUT, feature_dim=F, noise_dim=6,
         enc_dim=12, enc_layers=1, hidden_dim=32, rnn_layers=layers,
-        head_hidden=16,
+        head_hidden=16, cell=cell,
     )
     gen = Generator(cfg)
     ks = jax.random.split(jax.random.key(0), 5)
@@ -38,9 +38,10 @@ def test_supports_guard():
     assert not supports_dual(cfg, 3, interpret=False)  # 3 % 8 != 0
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("n_fwd", [1, 2])
-def test_rows_match_per_phase_calls(n_fwd):
-    cfg, params, feats, zs = setup()
+def test_rows_match_per_phase_calls(n_fwd, cell):
+    cfg, params, feats, zs = setup(cell=cell)
     fakes_fwd, fake_g = fused_dual_apply(
         params, cfg, feats, zs[:n_fwd], zs[n_fwd], interpret=True
     )
@@ -56,10 +57,11 @@ def test_rows_match_per_phase_calls(n_fwd):
     )
 
 
-def test_grads_match_single_diff_apply():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_grads_match_single_diff_apply(cell):
     """d(loss(fake_g))/d(params) through the dual op == through
     fused_apply_diff; the forward-only branch contributes nothing."""
-    cfg, params, feats, zs = setup()
+    cfg, params, feats, zs = setup(cell=cell)
     probe = jax.random.normal(jax.random.key(7), (B, T, LAYOUT.pose_dim))
 
     def loss_dual(p):

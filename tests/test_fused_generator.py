@@ -17,10 +17,10 @@ from music2dance_tpu.ops.fused_generator import (
 LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 
 
-def make_gen(layers=2, hidden=32, residual=True):
+def make_gen(layers=2, hidden=32, residual=True, cell="gru"):
     cfg = GeneratorConfig(
         layout=LAYOUT, feature_dim=13, noise_dim=8, enc_dim=16, enc_layers=2,
-        enc_kernel=3, hidden_dim=hidden, rnn_layers=layers, cell="gru",
+        enc_kernel=3, hidden_dim=hidden, rnn_layers=layers, cell=cell,
         head_hidden=16, residual_pose=residual,
     )
     gen = Generator(cfg)
@@ -39,19 +39,27 @@ def test_gi_static_matches_flax():
     assert np.isfinite(np.asarray(gi)).all()
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
 @pytest.mark.parametrize("residual", [True, False])
-def test_fused_forward_equals_xla_scan(layers, residual):
-    cfg, gen, params, feats, z = make_gen(layers=layers, residual=residual)
+def test_fused_forward_equals_xla_scan(layers, residual, cell):
+    cfg, gen, params, feats, z = make_gen(layers=layers, residual=residual,
+                                          cell=cell)
     ref = gen.apply(params, feats, z)
     out = fused_apply(params, cfg, feats, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_fused_forward_with_carry():
-    cfg, gen, params, feats, z = make_gen()
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_forward_with_carry(cell):
+    cfg, gen, params, feats, z = make_gen(cell=cell)
     ref, ref_carry = gen.apply(params, feats, z, return_carry=True)
     out, (h_fin, p_fin) = fused_apply(params, cfg, feats, z, return_carry=True)
+    for a, b in zip(jax.tree.leaves(h_fin), jax.tree.leaves(ref_carry[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    h_fin = jax.tree.leaves(h_fin)[0]          # shape check below reuses
+    ref_carry = (jax.tree.leaves(ref_carry[0])[0], ref_carry[1])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_fin), np.asarray(ref_carry[0]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_fin), np.asarray(ref_carry[1]), rtol=1e-5, atol=1e-5)
@@ -76,7 +84,7 @@ def test_supports_fused_guards():
     assert supports_fused(cfg, interpret=True)
     assert not supports_fused(cfg, interpret=False)  # hidden=32 not 128-aligned
     lstm = GeneratorConfig(**{**cfg.__dict__, "cell": "lstm"})
-    assert not supports_fused(lstm, interpret=True)
+    assert supports_fused(lstm, interpret=True)  # LSTM kernels: round 3
     nar = GeneratorConfig(**{**cfg.__dict__, "autoregressive": False})
     assert not supports_fused(nar, interpret=True)
 

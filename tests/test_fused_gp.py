@@ -16,48 +16,56 @@ from music2dance_tpu.ops.fused_critic import (
 )
 from music2dance_tpu.ops.fused_gp import make_scan_input_grad
 
+from music2dance_tpu.ops.cell_math import gate_factor, state_slots
+
 LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 B, T, H = 3, 13, 32
 
 
-def make_cfg(layers):
+def make_cfg(layers, cell="gru"):
     return DiscriminatorConfig(
         layout=LAYOUT, feature_dim=7, conv_dim=8, conv_layers=1,
-        hidden_dim=H, rnn_layers=layers,
+        hidden_dim=H, rnn_layers=layers, cell=cell,
     )
 
 
 def make_weights(cfg, key):
     """Random weight tuple in critic_weight_names order."""
+    g = gate_factor(cfg.cell)
     ks = jax.random.split(key, 8)
     ws = []
     i = 0
     for n in critic_weight_names(cfg):
-        if n.endswith("hh.kernel"):
-            ws.append(jax.random.normal(ks[i], (H, 3 * H)) * 0.3)
-        elif n.endswith("ih_l1.kernel") or (".kernel" in n):
-            ws.append(jax.random.normal(ks[i], (H, 3 * H)) * 0.3)
+        if n.endswith(".kernel"):
+            ws.append(jax.random.normal(ks[i], (H, g * H)) * 0.3)
         else:
-            ws.append(jax.random.normal(ks[i], (3 * H,)) * 0.1)
+            ws.append(jax.random.normal(ks[i], (g * H,)) * 0.1)
         i += 1
     return tuple(ws)
 
 
 def htop_xla(gi_tm, weights, cfg):
-    """Pure-XLA reference scan over the same gate algebra."""
+    """Pure-XLA reference scan over the same (cell-generic) gate algebra;
+    jax autodiff through it is the first/second-order oracle."""
     names = critic_weight_names(cfg)
     wd = {n: (w if w.ndim > 1 else w[None, :]).astype(jnp.float32)
           for n, w in zip(names, weights)}
     dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+    layers = cfg.rnn_layers
+    lstm = cfg.cell == "lstm"
 
-    def step(h, gi_t):
-        acts = _recompute_core(gi_t, [h[l] for l in range(cfg.rnn_layers)],
-                               wd, cfg, dot)
-        h_new = jnp.stack([a["h_new"] for a in acts])
-        return h_new, acts[-1]["h_new"]
+    def step(state, gi_t):
+        hs = [state[l] for l in range(layers)]
+        cs = [state[layers + l] for l in range(layers)] if lstm else None
+        acts = _recompute_core(gi_t, hs, wd, cfg, dot, cs)
+        rows = [a["h_new"] for a in acts]
+        if lstm:
+            rows += [a["c_new"] for a in acts]
+        return jnp.stack(rows), acts[-1]["h_new"]
 
-    h0 = jnp.zeros((cfg.rnn_layers, gi_tm.shape[1], cfg.hidden_dim))
-    _, htop = jax.lax.scan(step, h0, gi_tm)
+    sl = state_slots(cfg.cell) * layers
+    s0 = jnp.zeros((sl, gi_tm.shape[1], cfg.hidden_dim))
+    _, htop = jax.lax.scan(step, s0, gi_tm)
     return htop  # [T, B, H]
 
 
@@ -65,17 +73,19 @@ def ref_input_grad(gi_tm, gcot_tm, weights, cfg):
     return jax.grad(lambda g: jnp.sum(gcot_tm * htop_xla(g, weights, cfg)))(gi_tm)
 
 
-def setup(layers):
-    cfg = make_cfg(layers)
+def setup(layers, cell="gru"):
+    cfg = make_cfg(layers, cell)
     weights = make_weights(cfg, jax.random.key(0))
-    gi = jax.random.normal(jax.random.key(1), (T, B, 3 * H)) * 0.5
+    g = gate_factor(cell)
+    gi = jax.random.normal(jax.random.key(1), (T, B, g * H)) * 0.5
     gcot = jax.random.normal(jax.random.key(2), (T, B, H)) * 0.5
     return cfg, weights, gi, gcot
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
-def test_input_grad_forward(layers):
-    cfg, weights, gi, gcot = setup(layers)
+def test_input_grad_forward(layers, cell):
+    cfg, weights, gi, gcot = setup(layers, cell)
     op = make_scan_input_grad(cfg, tb=4)
     out = np.asarray(op(gi, gcot, weights))
     ref = np.asarray(ref_input_grad(gi, gcot, weights, cfg))
@@ -83,11 +93,12 @@ def test_input_grad_forward(layers):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-6 * scale)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
-def test_second_order_vjp(layers):
+def test_second_order_vjp(layers, cell):
     """grad of a nonlinear functional of the input-grad wrt gi, gcot AND
     the weights — the full hand-derived Hessian-vector path."""
-    cfg, weights, gi, gcot = setup(layers)
+    cfg, weights, gi, gcot = setup(layers, cell)
     op = make_scan_input_grad(cfg, tb=4)
     probe = jax.random.normal(jax.random.key(3), gi.shape)
 
@@ -113,10 +124,11 @@ def test_second_order_vjp(layers):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
-def test_gp_loss_grads_match_xla():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_gp_loss_grads_match_xla(cell):
     """End-to-end WGAN-GP shape: gp = mean((||dgi||-1)^2); grads wrt
     weights must match full XLA second-order autodiff."""
-    cfg, weights, gi, gcot = setup(2)
+    cfg, weights, gi, gcot = setup(2, cell)
     op = make_scan_input_grad(cfg, tb=4)
 
     def gp(dgi):

@@ -27,10 +27,10 @@ from music2dance_tpu.ops.fused_generator_vjp import fused_apply_diff
 LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 
 
-def setup(layers=2, residual=True, t=21):
+def setup(layers=2, residual=True, t=21, cell="gru"):
     cfg = GeneratorConfig(
         layout=LAYOUT, feature_dim=13, noise_dim=8, enc_dim=16, enc_layers=2,
-        enc_kernel=3, hidden_dim=32, rnn_layers=layers, cell="gru",
+        enc_kernel=3, hidden_dim=32, rnn_layers=layers, cell=cell,
         head_hidden=16, residual_pose=residual,
     )
     gen = Generator(cfg)
@@ -44,10 +44,12 @@ def loss_weights(key, shape):
     return jax.random.normal(key, shape)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("layers", [1, 2])
 @pytest.mark.parametrize("residual", [True, False])
-def test_grads_match_xla(layers, residual):
-    cfg, gen, params, feats, z = setup(layers=layers, residual=residual)
+def test_grads_match_xla(layers, residual, cell):
+    cfg, gen, params, feats, z = setup(layers=layers, residual=residual,
+                                       cell=cell)
     w = loss_weights(jax.random.key(3), (3, 21, cfg.pose_dim))
 
     def loss_xla(p, f, zz):
@@ -63,17 +65,21 @@ def test_grads_match_xla(layers, residual):
     assert_grads_close(ref_grads, out_grads)
 
 
-def test_grads_with_carry_cotangents():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_grads_with_carry_cotangents(cell):
     """TBPTT shape: loss also reads the final carry."""
-    cfg, gen, params, feats, z = setup()
+    cfg, gen, params, feats, z = setup(cell=cell)
+
+    def carry_sq(h_fin):
+        return sum(jnp.sum(x**2) for x in jax.tree.leaves(h_fin))
 
     def loss_xla(p):
         poses, (h_fin, p_fin) = gen.apply(p, feats, z, return_carry=True)
-        return jnp.sum(poses**2) + jnp.sum(h_fin**2) + jnp.sum(p_fin**2)
+        return jnp.sum(poses**2) + carry_sq(h_fin) + jnp.sum(p_fin**2)
 
     def loss_fused(p):
         poses, (h_fin, p_fin) = fused_apply_diff(p, cfg, feats, z, return_carry=True)
-        return jnp.sum(poses**2) + jnp.sum(h_fin**2) + jnp.sum(p_fin**2)
+        return jnp.sum(poses**2) + carry_sq(h_fin) + jnp.sum(p_fin**2)
 
     ref = jax.grad(loss_xla)(params)
     out = jax.grad(loss_fused)(params)

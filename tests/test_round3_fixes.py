@@ -205,9 +205,9 @@ def test_why_not_fused_reasons():
     g = GAN.generator
     assert why_not_fused(g, interpret=True) is None
     assert "hidden_dim" in why_not_fused(g, interpret=False)
-    assert "lstm" in why_not_fused(
+    assert why_not_fused(
         dataclasses.replace(g, cell="lstm"), interpret=True
-    )
+    ) is None  # LSTM kernels landed later in round 3
     d = GAN.discriminator
     assert why_not_fused_critic(d, interpret=True) is None
     assert "hidden_dim" in why_not_fused_critic(d, interpret=False)

@@ -9,6 +9,7 @@ window boundaries exactly.
 
 import jax
 import numpy as np
+import pytest
 
 from music2dance_tpu.audio import AudioConfig
 from music2dance_tpu.data.synthetic import synthetic_batch
@@ -127,13 +128,20 @@ def test_tbptt_n_critic_and_remat():
         )
 
 
-def test_tbptt_fused_equals_xla():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_tbptt_fused_equals_xla(cell):
     """Fused-kernel TBPTT step (interpret mode) == pure-XLA TBPTT step."""
+    import dataclasses
+
+    gan = GAN if cell == "gru" else type(GAN)(
+        generator=dataclasses.replace(GAN.generator, cell=cell),
+        discriminator=dataclasses.replace(GAN.discriminator, cell=cell),
+    )
     tc = TrainConfig(batch_size=B, tbptt_window=W, n_critic=1)
     batch = make_long_batch()
-    state = init_state(jax.random.key(3), GAN, tc, batch)
-    _, step_xla = make_tbptt_machinery(GAN, tc, fused=False)
-    _, step_fused = make_tbptt_machinery(GAN, tc, fused=True)
+    state = init_state(jax.random.key(3), gan, tc, batch)
+    _, step_xla = make_tbptt_machinery(gan, tc, fused=False)
+    _, step_fused = make_tbptt_machinery(gan, tc, fused=True)
     sx, mx = jax.jit(step_xla)(state, batch)
     sf, mf = jax.jit(step_fused)(state, batch)
     # metrics are means over 4 windows, each downstream of both adam

@@ -119,16 +119,24 @@ def test_perf_preset_trains():
     assert not leaves_allclose(new_state.d_params, state.d_params)
 
 
-def test_fused_step_equals_xla_step():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_step_equals_xla_step(cell):
     """The fully-fused step (Pallas G kernels + fused critic + second-order
     GP op, interpret mode on CPU) must produce the same updates as the
-    pure-XLA step: same RNG draws, same math, f32."""
+    pure-XLA step: same RNG draws, same math, f32. Parametrized over both
+    cell families (LSTM kernel bank: round 3)."""
+    import dataclasses
+
+    gan = GAN if cell == "gru" else type(GAN)(
+        generator=dataclasses.replace(GAN.generator, cell=cell),
+        discriminator=dataclasses.replace(GAN.discriminator, cell=cell),
+    )
     tc = TrainConfig(batch_size=4, lambda_gp=10.0, n_critic=2)
     batch = make_batch(batch=4, seconds=0.4)
-    state = init_state(jax.random.key(7), GAN, tc, batch)
+    state = init_state(jax.random.key(7), gan, tc, batch)
 
-    step_xla = jax.jit(make_train_step(GAN, tc, fused=False))
-    step_fused = jax.jit(make_train_step(GAN, tc, fused=True))
+    step_xla = jax.jit(make_train_step(gan, tc, fused=False))
+    step_fused = jax.jit(make_train_step(gan, tc, fused=True))
 
     sx, mx = step_xla(state, batch)
     sf, mf = step_fused(state, batch)
