@@ -305,12 +305,17 @@ class DevicePrefetcher:
         sharding: Optional[jax.sharding.Sharding] = None,
         frontend_impl: str = "auto",
         chunk: int = 1,
+        keep_wave: bool = False,
     ):
+        """``keep_wave``: include the raw waveform in emitted batches
+        (waveform-domain inputs only) — the evaluator uses it for the
+        beat-alignment metric; the training loops leave it off."""
         self._fetcher = _HostFetcher(iter(host_iter), depth * max(1, chunk) + 1)
         self._extract = jit_extract_features(audio, impl=frontend_impl)
         self._depth = depth
         self._sharding = sharding
         self._chunk = max(1, chunk)
+        self._keep_wave = keep_wave
         self._queue: list[dict] = []
         self._done = False
 
@@ -362,7 +367,10 @@ class DevicePrefetcher:
             # centered STFT yields 1 + L/hop frames; trim to the pose frame
             # count so feats and poses align 1:1 (pose frame p <-> hop p)
             feats = self._extract(wave)[:, : pose.shape[1]]
-            out.append({"feats": feats, "poses": pose})
+            b = {"feats": feats, "poses": pose}
+            if self._keep_wave:
+                b["wave"] = wave
+            out.append(b)
         return out
 
     def __iter__(self):

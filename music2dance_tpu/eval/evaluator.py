@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..models import Discriminator, Generator, GANConfig
 from .metrics import (
+    beat_alignment,
     frechet_distance,
     kinematic_features,
     motion_diversity,
@@ -35,10 +36,13 @@ class Evaluator:
 
     ``val_batches``: one {"feats", "poses"} dict or a list of them (all
     the same shape); metrics are averaged across batches, the FMD is
-    computed once over the pooled per-sequence kinematic features.
+    computed once over the pooled per-sequence kinematic features. When
+    batches also carry "wave" (DevicePrefetcher(keep_wave=True)) and an
+    ``audio`` config is given, generated and real beat alignment land in
+    the metrics — the audio-conditioning progress meter.
     """
 
-    def __init__(self, gan: GANConfig, val_batches, seed: int = 0):
+    def __init__(self, gan: GANConfig, val_batches, seed: int = 0, audio=None):
         if isinstance(val_batches, dict):
             val_batches = [val_batches]
         gen = Generator(gan.generator)
@@ -47,6 +51,9 @@ class Evaluator:
         layout = gan.generator.layout
         feats = jnp.stack([jnp.asarray(vb["feats"]) for vb in val_batches])
         poses = jnp.stack([jnp.asarray(vb["poses"]) for vb in val_batches])
+        waves = None
+        if audio is not None and all("wave" in vb for vb in val_batches):
+            waves = jnp.stack([jnp.asarray(vb["wave"]) for vb in val_batches])
         n, b = feats.shape[:2]
         # one fixed noise draw per held-out sequence: the metric tracks
         # parameter movement, not sampling noise
@@ -59,7 +66,7 @@ class Evaluator:
             j = layout.n_joints, layout.joint_dim
 
             def per_batch(args):
-                f, p, zi = args
+                f, p, zi = args[:3]
                 fake = gen.apply(g_params, f, zi)
                 s_real = disc.apply(d_params, p, f if cond else None)
                 s_fake = disc.apply(d_params, fake, f if cond else None)
@@ -76,13 +83,18 @@ class Evaluator:
                     "diversity": motion_diversity(fake4),
                     "real_diversity": motion_diversity(real4),
                 }
+                if waves is not None:
+                    w = args[3]
+                    scalars["beat_alignment"] = beat_alignment(fake4, w, audio)
+                    scalars["real_beat_alignment"] = beat_alignment(
+                        real4, w, audio
+                    )
                 return scalars, (kinematic_features(fake4),
                                  kinematic_features(real4))
 
             # lax.map over the batch set: one compiled body regardless of N
-            scalars, (kf_fake, kf_real) = jax.lax.map(
-                per_batch, (feats, poses, z)
-            )
+            args = (feats, poses, z) + ((waves,) if waves is not None else ())
+            scalars, (kf_fake, kf_real) = jax.lax.map(per_batch, args)
             out = {k: jnp.mean(v) for k, v in scalars.items()}
             out["fmd"] = frechet_distance(
                 kf_fake.reshape(-1, kf_fake.shape[-1]),
@@ -102,10 +114,11 @@ def evaluator_from_iterator(
 ) -> Optional["Evaluator"]:
     """Build an Evaluator from a host batch iterator: up to ``n_batches``
     fixed batches (features extracted on device when batches carry raw
-    waves). Returns None when the iterator is empty."""
+    waves; waves kept so beat alignment is evaluated too). Returns None
+    when the iterator is empty."""
     from ..data.pipeline import DevicePrefetcher
 
-    dev = DevicePrefetcher(iter(val_batches), audio, depth=1)
+    dev = DevicePrefetcher(iter(val_batches), audio, depth=1, keep_wave=True)
     collected = []
     try:
         for _ in range(n_batches):
@@ -114,4 +127,4 @@ def evaluator_from_iterator(
         pass
     if not collected:
         return None
-    return Evaluator(gan, collected, seed=seed)
+    return Evaluator(gan, collected, seed=seed, audio=audio)

@@ -94,3 +94,24 @@ def test_train_loop_emits_eval_rows(tmp_path):
     assert len(eval_rows) == 2, rows  # steps 2 and 4
     assert all(np.isfinite(v) for r in eval_rows for k, v in r.items()
                if k.startswith("eval_"))
+
+
+def test_evaluator_beat_alignment_with_waves():
+    """When val batches carry raw waves, the evaluator reports generated
+    and real beat alignment (the audio-conditioning progress meter)."""
+    from music2dance_tpu.data.pipeline import BeatClipSource
+    from music2dance_tpu.eval.evaluator import evaluator_from_iterator
+
+    tc = TrainConfig(batch_size=4)
+    src = BeatClipSource(12, 1.0, AUDIO, LAYOUT, seed=1)
+    ds = make_dataset(src, 4, 1.0, AUDIO, seed=0, shuffle=False)
+    ev = evaluator_from_iterator(GAN, ds, AUDIO, n_batches=2)
+    assert ev is not None and ev.n_batches == 2
+    batch = synthetic_batch(jax.random.key(0), 4, 1.0, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    out = ev(state)
+    assert "beat_alignment" in out and "real_beat_alignment" in out
+    assert np.isfinite(out["beat_alignment"])
+    # real beat-driven motion scores clearly positive alignment
+    assert out["real_beat_alignment"] > 0.15, out["real_beat_alignment"]

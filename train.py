@@ -40,6 +40,9 @@ flags.DEFINE_enum("input_mode", "stream", ["stream", "feature_cache", "device_st
                   "with on-device sampling (fastest when it fits)")
 flags.DEFINE_string("cache_dir", None, "feature cache directory (.npz)")
 flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
+flags.DEFINE_enum("cell", "", ["", "gru", "lstm"],
+                  "recurrent cell family for G and D (default: preset's, "
+                  "gru). Both ride the same fused kernel bank.")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
 flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
                      "default, 50). THE single most throughput-critical knob "
@@ -66,16 +69,21 @@ def main(argv):
     from music2dance_tpu.utils.profiling import trace
 
     p = preset(FLAGS.preset)
-    if FLAGS.bf16:
+    if FLAGS.bf16 or FLAGS.cell:
         import dataclasses
 
         from music2dance_tpu.models.configs import GANConfig
 
+        over = {}
+        if FLAGS.bf16:
+            over["dtype"] = "bfloat16"
+        if FLAGS.cell:
+            over["cell"] = FLAGS.cell
         p = dataclasses.replace(
             p,
             gan=GANConfig(
-                generator=dataclasses.replace(p.gan.generator, dtype="bfloat16"),
-                discriminator=dataclasses.replace(p.gan.discriminator, dtype="bfloat16"),
+                generator=dataclasses.replace(p.gan.generator, **over),
+                discriminator=dataclasses.replace(p.gan.discriminator, **over),
             ),
         )
     if FLAGS.log_every > 0:
