@@ -34,7 +34,8 @@ def main(argv):
     # any input rate is resampled to the model rate (audio/resample.py)
 
     if FLAGS.wav_dir:
-        names = sorted(f for f in os.listdir(FLAGS.wav_dir) if f.endswith(".wav"))
+        names = sorted(f for f in os.listdir(FLAGS.wav_dir)
+                       if f.endswith((".wav", ".flac")))
         # mono PCM16 files already at the model rate stay int16 end-to-end
         # (half the host->device bytes; bit-identical features) — mixed
         # batches fall back to f32 in pad_and_extract_batch

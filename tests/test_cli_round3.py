@@ -1,0 +1,95 @@
+"""Round-3 CLI surfaces: evaluate.py and train.py --restore_torch /
+--cell, driven end to end in subprocesses (absl flags are process-global,
+and the sitecustomize pins the TPU platform — each run gets its own
+process that force-switches to CPU first)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WRAPPER = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import runpy
+import sys
+
+sys.argv = sys.argv[1:]
+runpy.run_path(sys.argv[0], run_name="__main__")
+"""
+
+
+def _run_cli(tmp_path, script, args, timeout=420):
+    wrapper = tmp_path / "wrap.py"
+    wrapper.write_text(_WRAPPER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, str(wrapper), os.path.join(REPO, script)] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, f"{script} failed:\n{out.stderr[-3000:]}"
+    return out.stdout
+
+
+def _make_ckpt(tmp_path):
+    """A tiny trained checkpoint bundle via the library API."""
+    from music2dance_tpu.audio import AudioConfig
+    from music2dance_tpu.ckpt.orbax_io import CheckpointWriter
+    from music2dance_tpu.data.synthetic import synthetic_batch
+    from music2dance_tpu.models import tiny_gan
+    from music2dance_tpu.train import TrainConfig, init_state
+
+    audio = AudioConfig()
+    gan = tiny_gan(feature_dim=audio.n_features)
+    tc = TrainConfig(batch_size=4, clip_seconds=1.0)
+    batch = synthetic_batch(jax.random.key(0), 4, 1.0, audio,
+                            gan.generator.layout, through_frontend=False)
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    ckpt = tmp_path / "ckpt"
+    w = CheckpointWriter(str(ckpt), gan, audio, tc)
+    w.save(0, state)
+    w.close()
+    return gan, audio, tc, state, str(ckpt)
+
+
+def test_evaluate_cli_emits_metrics(tmp_path):
+    _, _, _, _, ckpt = _make_ckpt(tmp_path)
+    out_file = tmp_path / "metrics.json"
+    stdout = _run_cli(tmp_path, "evaluate.py", [
+        "--ckpt", ckpt, "--synthetic", "--corpus", "beat",
+        "--synthetic_clips", "12", "--batches", "2", "--batch_size", "4",
+        "--clip_seconds", "1.0", "--out", str(out_file),
+    ])
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    assert metrics == json.loads(out_file.read_text())
+    for key in ("fmd", "wasserstein", "beat_alignment", "real_beat_alignment"):
+        assert key in metrics, key
+        assert np.isfinite(metrics[key]), (key, metrics[key])
+    # beat corpus: real motion is beat-locked even at tiny scale
+    assert metrics["real_beat_alignment"] > 0.1
+
+
+def test_train_cli_restores_torch_checkpoint(tmp_path):
+    from music2dance_tpu.ckpt.torch_convert import save_torch_checkpoint
+
+    gan, audio, tc, state, _ = _make_ckpt(tmp_path)
+    torch_path = tmp_path / "reference.pt"
+    save_torch_checkpoint(str(torch_path), state.g_params, state.d_params,
+                          state.opt_g, state.opt_d)
+
+    stdout = _run_cli(tmp_path, "train.py", [
+        "--preset", "tiny", "--steps", "2", "--synthetic", "--corpus", "noise",
+        "--synthetic_clips", "8", "--restore_torch", str(torch_path),
+        "--metrics_dir", str(tmp_path / "m"), "--log_every", "1",
+    ])
+    assert "done: 2 steps" in stdout
+    rows = [json.loads(l)
+            for l in open(tmp_path / "m" / "metrics.jsonl")]
+    assert any("d_loss" in r and np.isfinite(r["d_loss"]) for r in rows)

@@ -30,6 +30,11 @@ flags.DEFINE_enum("corpus", "beat", ["beat", "noise"],
 flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
 flags.DEFINE_string("metrics_dir", None, "metrics JSONL directory")
 flags.DEFINE_string("restore", None, "checkpoint to resume from")
+flags.DEFINE_string("restore_torch", None,
+                    "torch checkpoint (.pt, {'generator','discriminator'"
+                    "[,'opt_g','opt_d']}) to start from — the reference-"
+                    "interop path (ckpt/torch_convert); the preset must "
+                    "match the checkpoint's architecture")
 flags.DEFINE_integer("dp", 0, "data-parallel devices (0 = single device)")
 flags.DEFINE_integer("seed", 0, "rng seed")
 flags.DEFINE_integer("workers", 0, "grain worker processes for host decode")
@@ -126,6 +131,27 @@ def main(argv):
         from music2dance_tpu.ckpt.orbax_io import restore_bundle
 
         _, _, state = restore_bundle(FLAGS.restore)
+    elif FLAGS.restore_torch:
+        import jax
+        import numpy as np
+
+        from music2dance_tpu.ckpt.torch_convert import load_torch_checkpoint
+        from music2dance_tpu.train import init_state
+
+        sample = {
+            "feats": np.zeros((1, 4, p.audio.n_features), np.float32),
+            "poses": np.zeros((1, 4, p.gan.generator.pose_dim), np.float32),
+        }
+        state = init_state(jax.random.key(FLAGS.seed), p.gan, p.train, sample)
+        g, d, opt_g, opt_d = load_torch_checkpoint(
+            FLAGS.restore_torch, state.g_params, state.d_params,
+            state.opt_g, state.opt_d,
+        )
+        state = state.replace(
+            g_params=g, d_params=d,
+            opt_g=opt_g if opt_g is not None else state.opt_g,
+            opt_d=opt_d if opt_d is not None else state.opt_d,
+        )
 
     if FLAGS.input_mode == "device_store":
         from music2dance_tpu.data.device_store import DeviceFeatureStore
