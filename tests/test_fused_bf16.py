@@ -22,11 +22,11 @@ from music2dance_tpu.ops.fused_generator_vjp import fused_apply_diff
 LAYOUT = JointLayout(n_joints=5, joint_dim=3)
 
 
-def make_pair(layers=2, residual=True, t=21):
+def make_pair(layers=2, residual=True, t=21, cell="gru"):
     """(bf16 cfg, f32 cfg) sharing one f32 param tree."""
     base = dict(
         layout=LAYOUT, feature_dim=13, noise_dim=8, enc_dim=16, enc_layers=2,
-        enc_kernel=3, hidden_dim=32, rnn_layers=layers, cell="gru",
+        enc_kernel=3, hidden_dim=32, rnn_layers=layers, cell=cell,
         head_hidden=16, residual_pose=residual,
     )
     cfg16 = GeneratorConfig(**base, dtype="bfloat16")
@@ -45,9 +45,11 @@ def test_supports_fused_accepts_bf16():
     assert not supports_fused(fp8, interpret=True)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
 @pytest.mark.parametrize("residual", [True, False])
-def test_bf16_forward_tracks_f32(residual):
-    cfg16, cfg32, gen32, params, feats, z = make_pair(residual=residual)
+def test_bf16_forward_tracks_f32(residual, cell):
+    cfg16, cfg32, gen32, params, feats, z = make_pair(residual=residual,
+                                                      cell=cell)
     ref = np.asarray(gen32.apply(params, feats, z))
     out = np.asarray(fused_apply(params, cfg16, feats, z))
     assert out.dtype == np.float32  # poses stay f32
