@@ -36,3 +36,9 @@ class TrainConfig:
     ckpt_keep: int = 3             # step-numbered history depth (orbax GC)
     log_every: int = 50
     eval_every: int = 0            # held-out eval cadence (0 = disabled)
+    # failure detection: halt when a fetched loss/GP goes non-finite
+    # (checked at the log cadence — free: the metrics are fetched there
+    # anyway). An emergency checkpoint is written first when a ckpt_dir is
+    # configured, so the run is inspectable/resumable from just before the
+    # blow-up instead of silently training on NaNs for hours.
+    nan_guard: bool = True

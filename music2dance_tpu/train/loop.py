@@ -29,6 +29,36 @@ from .step import TrainState, init_state, make_train_step, warn_once
 from .tbptt import make_tbptt_train_step
 
 
+class NonFiniteLossError(RuntimeError):
+    """A fetched training metric went NaN/inf (tc.nan_guard)."""
+
+
+def _check_finite(metrics: dict, step: int, writer, state) -> None:
+    """Halt on non-finite metrics; write an emergency checkpoint first.
+
+    Runs on ALREADY-FETCHED host scalars (the log-cadence metrics), so the
+    guard adds zero device work. The saved state is from the current
+    step — close enough to the blow-up to diagnose, early enough to
+    resume with a smaller lr."""
+    import math
+
+    bad = {k: v for k, v in metrics.items()
+           if isinstance(v, float) and not math.isfinite(v)}
+    if not bad:
+        return
+    if writer is not None:
+        try:
+            writer.save(step, state)
+            writer.wait()  # the run is about to die: make the write durable
+        except Exception:  # noqa: BLE001 — a same-step save already exists
+            pass           # don't mask the real error below
+    raise NonFiniteLossError(
+        f"non-finite training metrics at step {step}: {bad} — "
+        + ("emergency checkpoint written; " if writer is not None else "")
+        + "resume from an earlier step with a smaller lr / larger n_critic"
+    )
+
+
 def _round_cadence(every: int, chunk_len: int, name: str) -> int:
     """Round an eval/ckpt cadence UP to a multiple of the chunk length.
 
@@ -121,8 +151,12 @@ def train_from_store(
         p_done, p_len, p_last = p
         synchronize(p_last)  # real barrier (+ makes the fetch below cheap)
         now = _time.perf_counter()
-        logger.log(p_done, {**p_last, "steps_per_sec": p_len / (now - t_prev)})
+        row = logger.log(
+            p_done, {**p_last, "steps_per_sec": p_len / (now - t_prev)}
+        )
         t_prev = now
+        if tc.nan_guard:
+            _check_finite(row, p_done, writer, state)
 
     eval_every = (
         _round_cadence(tc.eval_every, chunk_len, "eval_every")
@@ -159,14 +193,19 @@ def train_from_store(
                            {f"eval_{k}": v for k, v in evaluator(state).items()})
             if do_ckpt:
                 writer.save(done, state)  # async: returns immediately
+        if pending is not None:  # order the final rows (and nan-check them)
+            p, pending = pending, None
+            drain(p)
         if writer is not None:
-            if pending is not None:  # order the final rows too
-                p, pending = pending, None
-                drain(p)
             writer.save(int(state.step), state)
     finally:
         if pending is not None:
-            drain(pending)  # an interrupted run still logs its last chunk
+            # an interrupted run still logs its last chunk; don't let a
+            # NaN row mask the original in-flight exception
+            try:
+                drain(pending)
+            except NonFiniteLossError:
+                pass
         if writer is not None:
             writer.close()  # waits for the in-flight write
         logger.close()
@@ -232,7 +271,9 @@ def train(
                 batch = next(batches)
             if timer.tick(metrics):
                 extra = {"steps_per_sec": timer.steps_per_sec} if timer.steps_per_sec else {}
-                logger.log(int(i + 1), {**metrics, **extra})
+                row = logger.log(int(i + 1), {**metrics, **extra})
+                if tc.nan_guard:
+                    _check_finite(row, i + 1, writer, state)
             if evaluator is not None and tc.eval_every > 0 and (i + 1) % tc.eval_every == 0:
                 logger.log(int(i + 1),
                            {f"eval_{k}": v for k, v in evaluator(state).items()})

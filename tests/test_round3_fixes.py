@@ -211,3 +211,44 @@ def test_why_not_fused_reasons():
     d = GAN.discriminator
     assert why_not_fused_critic(d, interpret=True) is None
     assert "hidden_dim" in why_not_fused_critic(d, interpret=False)
+
+
+# ---------------------------------------------------------------------------
+# NaN guard (failure detection row)
+# ---------------------------------------------------------------------------
+
+def _poisoned_iter(audio, layout, batch=4):
+    while True:
+        b = synthetic_batch(jax.random.key(0), batch, 0.5, audio, layout,
+                            through_frontend=False)
+        yield {"feats": np.asarray(b["feats"]) * np.nan,
+               "pose": np.asarray(b["poses"])}
+
+
+def test_nan_guard_halts_and_checkpoints(tmp_path):
+    from music2dance_tpu.train.loop import NonFiniteLossError, train
+
+    tc = TrainConfig(batch_size=4, n_critic=1, log_every=1, ckpt_every=1000)
+    it = ({"feats": np.full((4, 10, AUDIO.n_mfcc), np.nan, np.float32),
+           "poses": np.zeros((4, 10, LAYOUT.pose_dim), np.float32)}
+          for _ in range(100))
+    with pytest.raises(NonFiniteLossError, match="non-finite"):
+        train(GAN, tc, AUDIO, it, total_steps=10,
+              ckpt_dir=str(tmp_path / "ck"), log_dir=str(tmp_path / "logs"))
+    # the emergency checkpoint made it to disk
+    from music2dance_tpu.ckpt.orbax_io import checkpoint_steps
+
+    assert checkpoint_steps(str(tmp_path / "ck")), "no emergency checkpoint"
+
+
+def test_nan_guard_off_keeps_running():
+    import dataclasses
+
+    from music2dance_tpu.train.loop import train
+
+    tc = TrainConfig(batch_size=4, n_critic=1, log_every=1, nan_guard=False)
+    it = ({"feats": np.full((4, 10, AUDIO.n_mfcc), np.nan, np.float32),
+           "poses": np.zeros((4, 10, LAYOUT.pose_dim), np.float32)}
+          for _ in range(100))
+    state = train(GAN, tc, AUDIO, it, total_steps=3)
+    assert int(state.step) == 3  # old behavior: trains on, no halt
