@@ -21,6 +21,12 @@ class TrainConfig:
     lr_d: float = 1e-4
     adam_b1: float = 0.5
     adam_b2: float = 0.9
+    # lr schedule: "constant" (reference-class default) or "cosine"
+    # (decay to lr*lr_final_frac over lr_decay_steps — GAN plateaus like
+    # the beat-corpus FMD floor respond to late-stage decay)
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 10_000
+    lr_final_frac: float = 0.1
     # objective
     lambda_gp: float = 10.0
     n_critic: int = 1              # D updates per alternating step

@@ -52,9 +52,19 @@ class TrainState:
     rng: jax.Array
 
 
+def _lr(tc: TrainConfig, base: float):
+    if tc.lr_schedule == "constant":
+        return base
+    if tc.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            base, tc.lr_decay_steps, alpha=tc.lr_final_frac
+        )
+    raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+
+
 def make_optimizers(tc: TrainConfig) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
-    tx_g = optax.adam(tc.lr_g, b1=tc.adam_b1, b2=tc.adam_b2)
-    tx_d = optax.adam(tc.lr_d, b1=tc.adam_b1, b2=tc.adam_b2)
+    tx_g = optax.adam(_lr(tc, tc.lr_g), b1=tc.adam_b1, b2=tc.adam_b2)
+    tx_d = optax.adam(_lr(tc, tc.lr_d), b1=tc.adam_b1, b2=tc.adam_b2)
     return tx_g, tx_d
 
 

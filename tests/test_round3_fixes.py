@@ -252,3 +252,32 @@ def test_nan_guard_off_keeps_running():
           for _ in range(100))
     state = train(GAN, tc, AUDIO, it, total_steps=3)
     assert int(state.step) == 3  # old behavior: trains on, no halt
+
+
+def test_cosine_lr_schedule_trains():
+    """lr_schedule='cosine' builds a decaying optimizer; a few steps run
+    and the late-step update magnitude is smaller than the early one."""
+    import dataclasses
+
+    tc = TrainConfig(batch_size=4, n_critic=1, lr_schedule="cosine",
+                     lr_decay_steps=10, lr_final_frac=0.0)
+    batch = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(1), GAN, tc, batch)
+    step = jax.jit(make_train_step(GAN, tc))
+
+    def gnorm(a, b):
+        return float(sum(np.linalg.norm(np.asarray(x) - np.asarray(y))
+                         for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))))
+
+    s1, _ = step(state, batch)
+    early = gnorm(s1.g_params, state.g_params)
+    s = s1
+    for _ in range(9):
+        s, _ = step(s, batch)
+    s_end, _ = step(s, batch)  # step 11: schedule has hit alpha=0
+    late = gnorm(s_end.g_params, s.g_params)
+    assert late < early * 0.2, (early, late)
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        make_train_step(GAN, dataclasses.replace(tc, lr_schedule="warmup"))

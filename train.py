@@ -57,6 +57,11 @@ flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
                      "steps/s end to end. eval_every/ckpt_every are rounded "
                      "up to a chunk multiple in that mode")
 flags.DEFINE_float("val_fraction", 0.1, "held-out clip fraction for --eval_every")
+flags.DEFINE_enum("lr_schedule", "", ["", "constant", "cosine"],
+                  "override the preset's lr schedule (cosine decays to "
+                  "lr*lr_final_frac over --lr_decay_steps)")
+flags.DEFINE_integer("lr_decay_steps", 0, "cosine decay horizon (0 = "
+                     "use --steps)")
 
 
 def main(argv):
@@ -96,6 +101,15 @@ def main(argv):
 
         p = dataclasses.replace(
             p, train=dataclasses.replace(p.train, log_every=FLAGS.log_every)
+        )
+    if FLAGS.lr_schedule:
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, train=dataclasses.replace(
+                p.train, lr_schedule=FLAGS.lr_schedule,
+                lr_decay_steps=FLAGS.lr_decay_steps or FLAGS.steps,
+            )
         )
     layout = p.gan.generator.layout
 
