@@ -54,7 +54,13 @@ class Discriminator(nn.Module):
         feats: Optional[jax.Array] = None,
         carry: Optional[Carry] = None,
         return_carry: bool = False,
+        return_features: bool = False,
     ):
+        """``return_features``: also return the per-layer conv activations
+        (a list of [B, T, C] arrays) — the embedding the feature-matching
+        auxiliary loss compares between real and generated poses
+        (train/losses.feature_matching; MelGAN-style stabilizer from the
+        retrieved-pattern papers, PAPERS.md)."""
         cfg = self.cfg
         b, t, _ = poses.shape
         g = num_gates(cfg.cell)
@@ -65,11 +71,21 @@ class Discriminator(nn.Module):
                 raise ValueError("conditional critic requires audio features")
             x = jnp.concatenate([poses, feats], axis=-1)
 
+        features = []
         for l in range(cfg.conv_layers):
             x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME",
                         name=f"conv_{l}", dtype=cfg.dtype,
                         kernel_dilation=(cfg.conv_dilation**l,))(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
+            features.append(x)
+
+        def pack(score, extra_carry=None):
+            out = (score,)
+            if return_carry:
+                out += (extra_carry,)
+            if return_features:
+                out += (features,)
+            return out if len(out) > 1 else out[0]
 
         if cfg.rnn_layers == 0:
             # conv-only (TCN) critic: no scan at all — every op is a conv/
@@ -79,13 +95,12 @@ class Discriminator(nn.Module):
             h = nn.leaky_relu(
                 nn.Dense(cfg.hidden_dim, name="tcn_fc", dtype=cfg.dtype)(x), 0.2
             )
+            features.append(h)
             scores = nn.Dense(1, name="score", dtype="float32")(
                 h.astype(jnp.float32)
             )  # [B, T, 1]
             score = jnp.mean(scores, axis=(1, 2))
-            if return_carry:
-                return score, self.init_carry(b)
-            return score
+            return pack(score, self.init_carry(b))
 
         gi = nn.Dense(g * cfg.hidden_dim, name="ih0", dtype=cfg.dtype)(x)  # hoisted
 
@@ -101,9 +116,7 @@ class Discriminator(nn.Module):
         )
         carry_out, scores = scan(cfg, name="step")(carry, gi)  # scores [B,T,1]
         score = jnp.mean(scores, axis=(1, 2))                  # [B]
-        if return_carry:
-            return score, carry_out
-        return score
+        return pack(score, carry_out)
 
     def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
         cfg = self.cfg

@@ -32,6 +32,10 @@ class TrainConfig:
     n_critic: int = 1              # D updates per alternating step
     drift_eps: float = 0.0         # optional critic drift term e*E[D(real)^2]
     continuity_weight: float = 0.0  # optional G smoothness aux loss
+    feature_matching_weight: float = 0.0  # optional MelGAN-style G aux:
+    #   L1 between critic conv features of real vs fake (losses.
+    #   feature_matching). >0 adds one XLA critic feature pass per G
+    #   update (the fused critic path doesn't expose conv intermediates)
     # truncated BPTT (0 = disabled; BASELINE config #4 uses 30 s clips)
     tbptt_window: int = 0
     tbptt_remat: bool = False      # jax.checkpoint each window update

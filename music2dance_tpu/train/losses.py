@@ -84,3 +84,22 @@ def generator_loss(
         vel = fake_poses[:, 1:] - fake_poses[:, :-1]
         loss = loss + continuity_weight * jnp.mean(vel * vel)
     return loss
+
+
+def feature_matching(real_features, fake_features) -> jax.Array:
+    """MelGAN-style feature-matching auxiliary: mean L1 distance between
+    the critic's intermediate activations on real vs generated poses,
+    averaged over layers (PAPERS.md pattern; stabilizes the generator by
+    giving it a dense feature-space target alongside the critic score).
+
+    Inputs: equal-length lists of [B, T, C] activations from
+    ``Discriminator(..., return_features=True)``. Real features should be
+    ``stop_gradient``-ed by the caller (the generator must not learn to
+    move the REAL embedding)."""
+    assert len(real_features) == len(fake_features) and real_features
+    total = 0.0
+    for a, b in zip(real_features, fake_features):
+        total = total + jnp.mean(
+            jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+        )
+    return total / len(real_features)

@@ -27,7 +27,7 @@ import optax
 
 from ..models import Discriminator, Generator, GANConfig
 from .config import TrainConfig
-from .losses import critic_loss, generator_loss
+from .losses import critic_loss, feature_matching, generator_loss
 
 _warned: set[str] = set()
 
@@ -283,12 +283,29 @@ def make_train_step(
         }
         return loss, aux
 
+    def g_aux_losses(d_params, fake, real, feats):
+        """Optional generator auxiliaries beyond -E[D(fake)] (score term
+        handled by the caller): feature matching via one XLA critic
+        feature pass (the fused critic doesn't expose conv intermediates
+        — tc.feature_matching_weight defaults to 0)."""
+        extra, aux = 0.0, {}
+        if tc.feature_matching_weight:
+            f = feats if cond else None
+            _, ff = disc.apply(d_params, fake, f, return_features=True)
+            _, fr = disc.apply(d_params, real, f, return_features=True)
+            fm = feature_matching(jax.lax.stop_gradient(fr), ff)
+            extra = tc.feature_matching_weight * fm
+            aux["fm"] = fm
+        return extra, aux
+
     def g_loss_fn(g_params, d_params, batch, key):
         feats = batch["feats"]
         fake = sample_fake(g_params, feats, key)
         s_fake = critic_scores(d_params, fake, feats)
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
-        return loss, {"g_loss": loss}
+        extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
+        loss = loss + extra
+        return loss, {"g_loss": loss, **aux}
 
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         # trace-time contract checks (SURVEY.md §5 sanitizers row): shapes
@@ -358,13 +375,17 @@ def make_train_step(
             # zero cotangents are dead code to XLA)
             def g_core(fake):
                 s_fake = critic_scores(d_params, fake, feats)
-                return generator_loss(s_fake, fake, tc.continuity_weight)
+                loss = generator_loss(s_fake, fake, tc.continuity_weight)
+                extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
+                return loss + extra, aux
 
-            g_loss_val, dfake = jax.value_and_grad(g_core)(fake_g)
+            (g_loss_val, fm_aux), dfake = jax.value_and_grad(
+                g_core, has_aux=True
+            )(fake_g)
             (g_grads,) = pull_g(
                 ([jnp.zeros_like(f) for f in fakes_fwd], dfake)
             )
-            g_aux = {"g_loss": g_loss_val}
+            g_aux = {"g_loss": g_loss_val, **fm_aux}
         else:
             k = jax.random.fold_in(base, tc.n_critic)
             (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

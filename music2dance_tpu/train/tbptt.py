@@ -198,14 +198,24 @@ def make_tbptt_machinery(
         new_carries = {"g_d": g_d_new, "d_real": d_real_new, "d_fake": d_fake_new}
         return loss, (aux, new_carries)
 
-    def g_loss_fn(g_params, d_params, wfeats, key, carries):
+    def g_loss_fn(g_params, d_params, wfeats, wposes, key, carries):
         b = wfeats.shape[0]
         z = sample_z(key, b, wfeats.dtype)
         fake, g_g_new = gen_apply(g_params, wfeats, z, carries["g_g"], diff=True)
         s_fake, d_gfake_new = d_apply(d_params, fake, wfeats, carries["d_gfake"])
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
+        aux = {}
+        if tc.feature_matching_weight:
+            from .losses import feature_matching
+
+            f = wfeats if cond else None
+            _, ff = disc.apply(d_params, fake, f, return_features=True)
+            _, fr = disc.apply(d_params, wposes, f, return_features=True)
+            fm = feature_matching(jax.lax.stop_gradient(fr), ff)
+            loss = loss + tc.feature_matching_weight * fm
+            aux["fm"] = fm
         new_carries = {"g_g": g_g_new, "d_gfake": d_gfake_new}
-        return loss, ({"g_loss": loss}, new_carries)
+        return loss, ({"g_loss": loss, **aux}, new_carries)
 
     # per-window remat: recompute loss intermediates during the backward
     # instead of storing them — the memory lever for long windows / large
@@ -236,7 +246,7 @@ def make_tbptt_machinery(
             d_params = optax.apply_updates(d_params, d_updates)
 
         (_, (g_aux, g_new)), g_grads = g_loss_vg(
-            state.g_params, d_params, wfeats, kg, carries
+            state.g_params, d_params, wfeats, wposes, kg, carries
         )
         g_grads = pmean(g_grads)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)

@@ -7,6 +7,7 @@ import json
 import warnings
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -281,3 +282,55 @@ def test_cosine_lr_schedule_trains():
 
     with pytest.raises(ValueError, match="lr_schedule"):
         make_train_step(GAN, dataclasses.replace(tc, lr_schedule="warmup"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-matching auxiliary loss (MelGAN-style pattern, PAPERS.md)
+# ---------------------------------------------------------------------------
+
+def test_discriminator_return_features():
+    from music2dance_tpu.models import Discriminator
+
+    disc = Discriminator(GAN.discriminator)
+    b = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                        through_frontend=False)
+    params = disc.init(jax.random.key(1), b["poses"], b["feats"])
+    score, feats_list = disc.apply(params, b["poses"], b["feats"],
+                                   return_features=True)
+    assert score.shape == (4,)
+    assert len(feats_list) == GAN.discriminator.conv_layers
+    for f in feats_list:
+        assert f.shape[:2] == (4, b["poses"].shape[1])
+    # with carry AND features: (score, carry, features)
+    out = disc.apply(params, b["poses"], b["feats"], return_carry=True,
+                     return_features=True)
+    assert len(out) == 3
+
+
+def test_feature_matching_loss_and_step():
+    import dataclasses
+
+    from music2dance_tpu.train.losses import feature_matching
+
+    x = [jnp.ones((2, 5, 3)), jnp.zeros((2, 5, 4))]
+    assert float(feature_matching(x, [a + 0.0 for a in x])) == 0.0
+    assert float(feature_matching(x, [a + 1.0 for a in x])) == 1.0
+
+    tc0 = TrainConfig(batch_size=4, n_critic=1)
+    tc_fm = dataclasses.replace(tc0, feature_matching_weight=5.0)
+    batch = synthetic_batch(jax.random.key(3), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc0, batch)
+    s0, m0 = jax.jit(make_train_step(GAN, tc0))(state, batch)
+    s1, m1 = jax.jit(make_train_step(GAN, tc_fm))(state, batch)
+    assert "fm" not in m0
+    assert np.isfinite(float(m1["fm"])) and float(m1["fm"]) > 0.0
+    # the aux loss changes the generator update (and only the generator:
+    # the critic phase is untouched)
+    g_same = all(np.allclose(np.asarray(a), np.asarray(b))
+                 for a, b in zip(jax.tree.leaves(s0.g_params),
+                                 jax.tree.leaves(s1.g_params)))
+    d_same = all(np.allclose(np.asarray(a), np.asarray(b))
+                 for a, b in zip(jax.tree.leaves(s0.d_params),
+                                 jax.tree.leaves(s1.d_params)))
+    assert not g_same and d_same
