@@ -129,16 +129,20 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
 
         self._load_wav = load_wav
         self._target_sr = target_sr
-        wavs = sorted(f for f in os.listdir(root) if f.endswith(".wav"))
+        wavs = sorted(f for f in os.listdir(root)
+                      if f.endswith((".wav", ".flac")))
         self._pairs = []
         for w in wavs:
-            p = os.path.join(root, w[:-4] + ".npy")
+            stem = os.path.splitext(w)[0]
+            p = os.path.join(root, stem + ".npy")
             if os.path.exists(p):
                 self._pairs.append((os.path.join(root, w), p))
             else:
                 warnings.warn(f"{w}: no paired pose file {p}, skipping")
         if not self._pairs:
-            raise FileNotFoundError(f"no paired .wav/.npy clips under {root}")
+            raise FileNotFoundError(
+                f"no paired .wav/.flac + .npy clips under {root}"
+            )
 
     def __len__(self) -> int:
         return len(self._pairs)

@@ -105,7 +105,10 @@ class Evaluator:
         self._fn = jax.jit(run)
 
     def __call__(self, state) -> dict:
-        out = self._fn(state.g_params, state.d_params)
+        g = state.g_params
+        if getattr(state, "ema_g_params", None) is not None:
+            g = state.ema_g_params  # the averaged weights are the eval weights
+        out = self._fn(g, state.d_params)
         return {k: float(v) for k, v in out.items()}
 
 

@@ -33,7 +33,8 @@ class Music2DanceModel:
         from ..ckpt.orbax_io import restore_bundle
 
         gan, audio, state = restore_bundle(path)
-        return cls(gan, audio, state.g_params, seed=seed)
+        g = state.ema_g_params if getattr(state, "ema_g_params", None) is not None else state.g_params
+        return cls(gan, audio, g, seed=seed)
 
     def generate(self, waveform: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         """[L] waveform (float, or raw PCM16 int16) -> [T, n_joints,

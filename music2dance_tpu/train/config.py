@@ -27,6 +27,17 @@ class TrainConfig:
     lr_schedule: str = "constant"
     lr_decay_steps: int = 10_000
     lr_final_frac: float = 0.1
+    # global-norm gradient clipping (0 = off, the reference-class default;
+    # an untrained recurrent chain can emit O(1e3) gradients — see
+    # benchmarks/run_tpu_parity.py notes — and clipping tames the first
+    # few hundred steps without touching the converged regime)
+    grad_clip_norm: float = 0.0
+    # EMA of the generator params (0 = off): the averaged weights are
+    # what evaluation/serving should use in a GAN (the instantaneous
+    # params oscillate with the adversarial game); stored in
+    # TrainState.ema_g_params and preferred by Evaluator and the
+    # inference API when present
+    ema_decay: float = 0.0
     # objective
     lambda_gp: float = 10.0
     n_critic: int = 1              # D updates per alternating step

@@ -50,6 +50,10 @@ class TrainState:
     opt_g: Any
     opt_d: Any
     rng: jax.Array
+    # exponential moving average of g_params (tc.ema_decay > 0) — the
+    # standard GAN eval/serving weights; None (an empty pytree node) when
+    # disabled, so checkpoints and pytree structure are unchanged then
+    ema_g_params: Any = None
 
 
 def _lr(tc: TrainConfig, base: float):
@@ -63,9 +67,13 @@ def _lr(tc: TrainConfig, base: float):
 
 
 def make_optimizers(tc: TrainConfig) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
-    tx_g = optax.adam(_lr(tc, tc.lr_g), b1=tc.adam_b1, b2=tc.adam_b2)
-    tx_d = optax.adam(_lr(tc, tc.lr_d), b1=tc.adam_b1, b2=tc.adam_b2)
-    return tx_g, tx_d
+    def tx(base_lr):
+        adam = optax.adam(_lr(tc, base_lr), b1=tc.adam_b1, b2=tc.adam_b2)
+        if tc.grad_clip_norm > 0.0:
+            return optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), adam)
+        return adam
+
+    return tx(tc.lr_g), tx(tc.lr_d)
 
 
 def init_state(
@@ -90,6 +98,7 @@ def init_state(
         opt_g=tx_g.init(g_params),
         opt_d=tx_d.init(d_params),
         rng=krest,
+        ema_g_params=g_params if tc.ema_decay > 0.0 else None,
     )
 
 
@@ -398,6 +407,12 @@ def make_train_step(
         metrics.update(g_aux)
         metrics = {k_: pmean(v) for k_, v in metrics.items()}
 
+        ema = state.ema_g_params
+        if tc.ema_decay > 0.0:
+            d_ = tc.ema_decay
+            ema = jax.tree.map(lambda e, q: d_ * e + (1.0 - d_) * q,
+                               ema, g_params)
+
         new_state = TrainState(
             step=state.step + 1,
             g_params=g_params,
@@ -405,6 +420,7 @@ def make_train_step(
             opt_g=opt_g,
             opt_d=opt_d,
             rng=next_rng,
+            ema_g_params=ema,
         )
         return new_state, metrics
 

@@ -290,6 +290,12 @@ def make_tbptt_machinery(
             (feats_w, poses_w, jnp.arange(n_win)),
         )
         metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics_w)
+        if tc.ema_decay > 0.0:
+            d_ = tc.ema_decay
+            state = state.replace(ema_g_params=jax.tree.map(
+                lambda e, q: d_ * e + (1.0 - d_) * q,
+                state.ema_g_params, state.g_params,
+            ))
         state = state.replace(step=state.step + 1, rng=next_rng)
         return state, metrics
 
