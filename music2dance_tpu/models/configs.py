@@ -68,6 +68,12 @@ class DiscriminatorConfig:
     hidden_dim: int = 512
     rnn_layers: int = 1
     cell: str = "gru"
+    # multi-scale critic ensemble (MelGAN-pattern, PAPERS.md): scale s
+    # scores the sequences avg-pooled by 2^s along time, each scale with
+    # its own parameters; the score is the scale mean. Requires the TCN
+    # family (rnn_layers == 0) — conv critics are what the pattern is
+    # built from, and it keeps recurrent carries single-scale.
+    n_scales: int = 1
     dtype: str = "float32"         # compute dtype; params/losses stay float32
 
     @property

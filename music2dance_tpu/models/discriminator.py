@@ -65,6 +65,16 @@ class Discriminator(nn.Module):
         b, t, _ = poses.shape
         g = num_gates(cfg.cell)
 
+        if cfg.n_scales > 1:
+            if cfg.rnn_layers != 0:
+                raise ValueError(
+                    "n_scales > 1 requires the TCN critic family "
+                    "(rnn_layers == 0) — the multi-scale pattern is conv-"
+                    "based and recurrent carries are single-scale"
+                )
+            return self._multi_scale(poses, feats, return_carry,
+                                     return_features, b)
+
         x = poses
         if cfg.conditional:
             if feats is None:
@@ -117,6 +127,51 @@ class Discriminator(nn.Module):
         carry_out, scores = scan(cfg, name="step")(carry, gi)  # scores [B,T,1]
         score = jnp.mean(scores, axis=(1, 2))                  # [B]
         return pack(score, carry_out)
+
+    def _multi_scale(self, poses, feats, return_carry, return_features, b):
+        """MelGAN-pattern multi-scale TCN ensemble: scale s scores the
+        inputs avg-pooled by 2^s along time with its OWN conv stack
+        (params under scale{s}_*; scale 0 uses the unprefixed names so
+        n_scales=1 checkpoints stay loadable); score = scale mean. Pooling
+        is a linear op, so the WGAN-GP second order remains pure MXU."""
+        cfg = self.cfg
+        scores, features = [], []
+        for s in range(cfg.n_scales):
+            if s == 0:
+                ps, fs = poses, feats
+            else:
+                k = 2 ** s
+                ps = nn.avg_pool(poses, (k,), strides=(k,))
+                fs = None if feats is None else nn.avg_pool(feats, (k,),
+                                                            strides=(k,))
+            x = ps
+            if cfg.conditional:
+                if fs is None:
+                    raise ValueError("conditional critic requires audio features")
+                x = jnp.concatenate([ps, fs], axis=-1)
+            prefix = "" if s == 0 else f"scale{s}_"
+            for l in range(cfg.conv_layers):
+                x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME",
+                            name=f"{prefix}conv_{l}", dtype=cfg.dtype,
+                            kernel_dilation=(cfg.conv_dilation**l,))(x)
+                x = nn.leaky_relu(x, negative_slope=0.2)
+                features.append(x)
+            h = nn.leaky_relu(
+                nn.Dense(cfg.hidden_dim, name=f"{prefix}tcn_fc",
+                         dtype=cfg.dtype)(x), 0.2
+            )
+            features.append(h)
+            sc = nn.Dense(1, name=f"{prefix}score", dtype="float32")(
+                h.astype(jnp.float32)
+            )
+            scores.append(jnp.mean(sc, axis=(1, 2)))
+        score = sum(scores) / len(scores)
+        out = (score,)
+        if return_carry:
+            out += (self.init_carry(b),)
+        if return_features:
+            out += (features,)
+        return out if len(out) > 1 else out[0]
 
     def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
         cfg = self.cfg

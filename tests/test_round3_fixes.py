@@ -406,3 +406,39 @@ def test_grad_clip_bounds_update():
     # and both stay finite
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(sc.g_params))
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale TCN critic (MelGAN-pattern ensemble)
+# ---------------------------------------------------------------------------
+
+def test_multi_scale_critic_trains_and_guards():
+    import dataclasses
+
+    from music2dance_tpu.models import Discriminator
+    from music2dance_tpu.models.configs import GANConfig
+
+    d_ms = dataclasses.replace(GAN.discriminator, rnn_layers=0, n_scales=3)
+    gan_ms = GANConfig(generator=GAN.generator, discriminator=d_ms)
+    tc = TrainConfig(batch_size=4, n_critic=1)
+    batch = synthetic_batch(jax.random.key(3), 4, 0.8, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), gan_ms, tc, batch)
+    # per-scale parameters exist; scale 0 keeps the unprefixed names so
+    # n_scales=1 checkpoints remain loadable
+    p = state.d_params["params"]
+    assert "conv_0" in p and "scale1_conv_0" in p and "scale2_conv_0" in p
+
+    s1, m = jax.jit(make_train_step(gan_ms, tc))(state, batch)
+    assert np.isfinite(float(m["d_loss"])) and float(m["gp"]) > 0.0
+    # all scales learn (the GP + score losses reach every scale's params)
+    for name in ("conv_0", "scale1_conv_0", "scale2_conv_0"):
+        before = state.d_params["params"][name]["kernel"]
+        after = s1.d_params["params"][name]["kernel"]
+        assert not np.allclose(np.asarray(before), np.asarray(after)), name
+
+    # recurrent multi-scale is rejected loudly
+    bad = dataclasses.replace(GAN.discriminator, rnn_layers=1, n_scales=2)
+    disc = Discriminator(bad)
+    with pytest.raises(ValueError, match="TCN"):
+        disc.init(jax.random.key(0), batch["poses"], batch["feats"])
