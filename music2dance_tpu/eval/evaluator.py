@@ -62,14 +62,37 @@ class Evaluator:
         )
         self.n_batches = n
 
+        # the fused kernels cut eval wall time ~3x on TPU (the XLA scans
+        # are the slow path); equivalence is covered by the fused suites
+        from ..ops.fused_critic import fused_critic_apply, supports_fused_critic
+        from ..ops.fused_generator import fused_apply, supports_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        fused_gen = on_tpu and supports_fused(gan.generator, interpret=False)
+        fused_disc = on_tpu and supports_fused_critic(
+            gan.discriminator, interpret=False
+        )
+
+        def gen_fn(g_params, f, zi):
+            if fused_gen:
+                return fused_apply(g_params, gan.generator, f, zi,
+                                   interpret=False)
+            return gen.apply(g_params, f, zi)
+
+        def disc_fn(d_params, x, f):
+            if fused_disc:
+                return fused_critic_apply(d_params, gan.discriminator, x, f,
+                                          interpret=False)
+            return disc.apply(d_params, x, f)
+
         def run(g_params, d_params):
             j = layout.n_joints, layout.joint_dim
 
             def per_batch(args):
                 f, p, zi = args[:3]
-                fake = gen.apply(g_params, f, zi)
-                s_real = disc.apply(d_params, p, f if cond else None)
-                s_fake = disc.apply(d_params, fake, f if cond else None)
+                fake = gen_fn(g_params, f, zi)
+                s_real = disc_fn(d_params, p, f if cond else None)
+                s_fake = disc_fn(d_params, fake, f if cond else None)
                 fake4 = fake.reshape(b, -1, *j)
                 real4 = p.reshape(b, -1, *j)
                 stats = motion_statistics(fake4)

@@ -189,10 +189,18 @@ def train_from_store(
                 p, pending = pending, None
                 drain(p)
             if do_eval:
-                logger.log(done,
-                           {f"eval_{k}": v for k, v in evaluator(state).items()})
+                t_ev = _time.perf_counter()
+                row = {f"eval_{k}": v for k, v in evaluator(state).items()}
+                row["eval_seconds"] = _time.perf_counter() - t_ev
+                logger.log(done, row)
             if do_ckpt:
                 writer.save(done, state)  # async: returns immediately
+            if do_eval or do_ckpt:
+                # keep steps_per_sec a TRAIN-throughput number: restart the
+                # drain clock after eval/ckpt work so their wall time isn't
+                # credited to the next chunk (it is reported explicitly as
+                # eval_seconds instead — honest both ways)
+                t_prev = _time.perf_counter()
         if pending is not None:  # order the final rows (and nan-check them)
             p, pending = pending, None
             drain(p)
@@ -275,8 +283,12 @@ def train(
                 if tc.nan_guard:
                     _check_finite(row, i + 1, writer, state)
             if evaluator is not None and tc.eval_every > 0 and (i + 1) % tc.eval_every == 0:
-                logger.log(int(i + 1),
-                           {f"eval_{k}": v for k, v in evaluator(state).items()})
+                import time as _t
+
+                t_ev = _t.perf_counter()
+                row = {f"eval_{k}": v for k, v in evaluator(state).items()}
+                row["eval_seconds"] = _t.perf_counter() - t_ev
+                logger.log(int(i + 1), row)
             if writer is not None and (i + 1) % tc.ckpt_every == 0:
                 writer.save(i + 1, state)  # async: training continues
                 _save_data_state(ckpt_dir, batches)

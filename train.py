@@ -62,6 +62,11 @@ flags.DEFINE_enum("lr_schedule", "", ["", "constant", "cosine"],
                   "lr*lr_final_frac over --lr_decay_steps)")
 flags.DEFINE_integer("lr_decay_steps", 0, "cosine decay horizon (0 = "
                      "use --steps)")
+flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
+                   "eval and inference use the averaged weights")
+flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
+                   "aux loss weight (0 = off)")
+flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
 
 
 def main(argv):
@@ -110,6 +115,19 @@ def main(argv):
                 p.train, lr_schedule=FLAGS.lr_schedule,
                 lr_decay_steps=FLAGS.lr_decay_steps or FLAGS.steps,
             )
+        )
+    train_over = {}
+    if FLAGS.ema_decay > 0:
+        train_over["ema_decay"] = FLAGS.ema_decay
+    if FLAGS.feature_matching > 0:
+        train_over["feature_matching_weight"] = FLAGS.feature_matching
+    if FLAGS.grad_clip > 0:
+        train_over["grad_clip_norm"] = FLAGS.grad_clip
+    if train_over:
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, train=dataclasses.replace(p.train, **train_over)
         )
     layout = p.gan.generator.layout
 
