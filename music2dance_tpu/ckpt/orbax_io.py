@@ -59,12 +59,38 @@ def configs_from_json(text: str) -> tuple[GANConfig, AudioConfig, TrainConfig]:
 
 
 def _pack_state(state: TrainState):
-    """Typed PRNG keys don't serialize; store raw key data."""
-    return state.replace(rng=jax.random.key_data(state.rng))
+    """TrainState -> plain dict for serialization.
+
+    Typed PRNG keys don't serialize (store raw key data), and OPTIONAL
+    fields (ema_g_params) are included only when present — orbax compares
+    tree structures by KEY, so packing the dataclass directly would make
+    pre-EMA checkpoints unrestorable the moment a field is added (hit in
+    round 3 restoring a round-3-early bundle)."""
+    d = {
+        "step": state.step,
+        "g_params": state.g_params,
+        "d_params": state.d_params,
+        "opt_g": state.opt_g,
+        "opt_d": state.opt_d,
+        "rng": jax.random.key_data(state.rng),
+    }
+    if state.ema_g_params is not None:
+        d["ema_g_params"] = state.ema_g_params
+    return d
 
 
-def _unpack_state(state: TrainState):
-    return state.replace(rng=jax.random.wrap_key_data(state.rng))
+def _unpack_state(d) -> TrainState:
+    if isinstance(d, TrainState):  # legacy: dataclass-packed checkpoints
+        return d.replace(rng=jax.random.wrap_key_data(d.rng))
+    return TrainState(
+        step=d["step"],
+        g_params=d["g_params"],
+        d_params=d["d_params"],
+        opt_g=d["opt_g"],
+        opt_d=d["opt_d"],
+        rng=jax.random.wrap_key_data(d["rng"]),
+        ema_g_params=d.get("ema_g_params"),
+    )
 
 
 def save_checkpoint(
@@ -167,8 +193,12 @@ def restore_checkpoint(
     falls back to the single-slot layout when no managed steps exist).
     """
     path = os.path.abspath(path)
+    # explicit sharding on the abstract tree: restores land on the CURRENT
+    # default device, so checkpoints written on the TPU restore on a CPU
+    # host (and vice versa) instead of failing to find the saving topology
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=dev),
         _pack_state(template),
     )
     steps = checkpoint_steps(path)
