@@ -30,6 +30,10 @@ flags.DEFINE_integer("batch_size", 16, "eval batch size")
 flags.DEFINE_float("clip_seconds", 6.0, "clip length drawn per batch")
 flags.DEFINE_integer("seed", 0, "eval noise/data seed")
 flags.DEFINE_string("out", None, "also write the metrics JSON here")
+flags.DEFINE_string(
+    "step", "latest",
+    "checkpoint step to score: a number, 'latest', or 'best' "
+    "(the best-by-eval_fmd slot kept when training ran with --eval_every)")
 flags.mark_flag_as_required("ckpt")
 
 
@@ -44,7 +48,8 @@ def main(argv):
     )
     from music2dance_tpu.eval.evaluator import evaluator_from_iterator
 
-    gan, audio, state = restore_bundle(FLAGS.ckpt)
+    step = FLAGS.step if FLAGS.step in ("latest", "best") else int(FLAGS.step)
+    gan, audio, state = restore_bundle(FLAGS.ckpt, step=step)
     layout = gan.generator.layout
 
     if FLAGS.data_dir:

@@ -20,7 +20,15 @@ flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D]")
 flags.DEFINE_string("out_dir", "poses_out", "output directory for --wav_dir")
 flags.DEFINE_string("video", None, "render a stick-figure animation here (.mp4/.gif)")
 flags.DEFINE_integer("seed", 0, "latent seed")
+flags.DEFINE_string(
+    "step", "latest",
+    "checkpoint step to load: a number, 'latest', or 'best' "
+    "(the best-by-eval_fmd slot kept when training ran with --eval_every)")
 flags.mark_flag_as_required("ckpt")
+
+
+def _parse_step(s: str):
+    return s if s in ("latest", "best") else int(s)
 
 
 def main(argv):
@@ -28,7 +36,8 @@ def main(argv):
     from music2dance_tpu.data.wav import load_wav, load_wav_pcm16
     from music2dance_tpu.infer import Music2DanceModel
 
-    model = Music2DanceModel.from_checkpoint(FLAGS.ckpt)
+    model = Music2DanceModel.from_checkpoint(FLAGS.ckpt,
+                                             step=_parse_step(FLAGS.step))
 
     sr_model = model.audio.sample_rate  # librosa.load(sr=...) semantics:
     # any input rate is resampled to the model rate (audio/resample.py)

@@ -31,6 +31,8 @@ from ..train.step import TrainState, init_state
 
 CONFIG_FILE = "configs.json"
 STATE_DIR = "state"
+BEST_DIR = "best"          # best-by-eval-metric slot (separate from steps/)
+BEST_META = "best_meta.json"
 
 
 def configs_to_json(gan: GANConfig, audio: AudioConfig, tc: TrainConfig) -> str:
@@ -145,9 +147,12 @@ class CheckpointWriter:
         audio: AudioConfig,
         tc: TrainConfig,
         max_to_keep: int = 3,
+        best_metric: Optional[str] = None,
+        best_mode: str = "min",
     ):
         path = os.path.abspath(path)
         os.makedirs(path, exist_ok=True)
+        self._path = path
         self._mgr = ocp.CheckpointManager(
             os.path.join(path, "steps"),
             options=ocp.CheckpointManagerOptions(
@@ -155,18 +160,70 @@ class CheckpointWriter:
                 enable_async_checkpointing=True,
             ),
         )
+        # Best-by-eval-metric slot: the latest-N GC deletes the checkpoint a
+        # user actually wants from a GAN run (the eval_fmd minimum — by 30k
+        # steps the step-20k best is long gone at keep=3). One extra managed
+        # slot under best/ retains it; best_meta.json records step + value
+        # and survives resumes so a restarted run keeps the running best.
+        self._best_metric = best_metric
+        assert best_mode in ("min", "max")
+        self._best_sign = 1.0 if best_mode == "min" else -1.0
+        self._best_mgr = None
+        self._best = None
+        if best_metric is not None:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(path, BEST_DIR),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, enable_async_checkpointing=True
+                ),
+            )
+            meta = best_step_info(path)
+            if meta is not None and meta.get("metric") == best_metric:
+                self._best = float(meta["value"])
         with open(os.path.join(path, CONFIG_FILE), "w") as f:
             f.write(configs_to_json(gan, audio, tc))
 
     def save(self, step: int, state: TrainState) -> None:
         self._mgr.save(int(step), args=ocp.args.StandardSave(_pack_state(state)))
 
+    def maybe_save_best(self, step: int, state: TrainState,
+                        metrics: dict) -> bool:
+        """Keep ``state`` in the best/ slot when ``metrics[best_metric]``
+        improves on the best seen so far (async, like ``save``). Returns
+        whether a save happened. No-op unless the writer was built with
+        ``best_metric`` and the key is present and finite."""
+        import math
+
+        if self._best_mgr is None or self._best_metric not in metrics:
+            return False
+        value = float(metrics[self._best_metric])
+        if not math.isfinite(value):
+            return False
+        if self._best is not None and self._best_sign * value >= self._best_sign * self._best:
+            return False
+        self._best = value
+        self._best_mgr.save(
+            int(step), args=ocp.args.StandardSave(_pack_state(state)),
+            force=True,  # a re-run may revisit an already-managed step number
+        )
+        meta = {"step": int(step), "metric": self._best_metric, "value": value}
+        tmp = os.path.join(self._path, BEST_META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self._path, BEST_META))
+        return True
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
 
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
+            self._best_mgr.close()
 
     def __enter__(self):
         return self
@@ -184,13 +241,24 @@ def checkpoint_steps(path: str) -> list[int]:
         return sorted(mgr.all_steps())
 
 
+def best_step_info(path: str) -> Optional[dict]:
+    """{"step", "metric", "value"} of the best/ slot, or None."""
+    meta = os.path.join(os.path.abspath(path), BEST_META)
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return json.load(f)
+
+
 def restore_checkpoint(
-    path: str, template: TrainState, step: Optional[int] = None
+    path: str, template: TrainState, step: Optional[int | str] = None
 ) -> TrainState:
     """Restore into the structure of ``template`` (from init_state).
 
-    ``step``: a specific step from a managed bundle (default: the latest;
-    falls back to the single-slot layout when no managed steps exist).
+    ``step``: a specific step number from a managed bundle, ``"best"``
+    (the best-by-eval-metric slot kept by ``CheckpointWriter``), or
+    ``None``/``"latest"`` (the newest step; falls back to the single-slot
+    layout when no managed steps exist).
     """
     path = os.path.abspath(path)
     # explicit sharding on the abstract tree: restores land on the CURRENT
@@ -201,6 +269,20 @@ def restore_checkpoint(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=dev),
         _pack_state(template),
     )
+    if step == "latest":
+        step = None
+    if step == "best":
+        best_dir = os.path.join(path, BEST_DIR)
+        if not os.path.isdir(best_dir):
+            raise FileNotFoundError(
+                f"{path} has no best/ slot — train with eval enabled "
+                "(eval_every > 0) so CheckpointWriter tracks the best "
+                "eval metric, or restore a numbered/latest step instead"
+            )
+        with ocp.CheckpointManager(best_dir) as mgr:
+            chosen = sorted(mgr.all_steps())[-1]
+            restored = mgr.restore(chosen, args=ocp.args.StandardRestore(abstract))
+        return _unpack_state(restored)
     steps = checkpoint_steps(path)
     if step is not None or steps:
         with ocp.CheckpointManager(os.path.join(path, "steps")) as mgr:
@@ -213,9 +295,13 @@ def restore_checkpoint(
 
 
 def restore_bundle(
-    path: str,
+    path: str, step: Optional[int | str] = None
 ) -> tuple[GANConfig, AudioConfig, TrainState]:
-    """Self-describing restore: rebuild configs + state from disk alone."""
+    """Self-describing restore: rebuild configs + state from disk alone.
+
+    ``step``: forwarded to ``restore_checkpoint`` (number, "best",
+    "latest"/None).
+    """
     path = os.path.abspath(path)
     with open(os.path.join(path, CONFIG_FILE)) as f:
         gan, audio, tc = configs_from_json(f.read())
@@ -225,4 +311,4 @@ def restore_bundle(
         "poses": np.zeros((1, 4, gan.generator.pose_dim), np.float32),
     }
     template = init_state(jax.random.key(0), gan, tc, sample)
-    return gan, audio, restore_checkpoint(path, template)
+    return gan, audio, restore_checkpoint(path, template, step=step)

@@ -29,10 +29,13 @@ class Music2DanceModel:
         self._key = jax.random.key(seed)
 
     @classmethod
-    def from_checkpoint(cls, path: str, seed: int = 0) -> "Music2DanceModel":
+    def from_checkpoint(cls, path: str, seed: int = 0,
+                        step: "int | str | None" = None) -> "Music2DanceModel":
+        """``step``: a step number, ``"best"`` (best-by-eval slot), or
+        None/"latest"."""
         from ..ckpt.orbax_io import restore_bundle
 
-        gan, audio, state = restore_bundle(path)
+        gan, audio, state = restore_bundle(path, step=step)
         g = state.ema_g_params if getattr(state, "ema_g_params", None) is not None else state.g_params
         return cls(gan, audio, g, seed=seed)
 

@@ -133,7 +133,13 @@ def train_from_store(
     chunk = make_chunk(chunk_len)
     logger = MetricsLogger(log_dir)
     writer = (
-        CheckpointWriter(ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep)
+        CheckpointWriter(
+            ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep,
+            # best-by-eval retention: keep the eval_fmd minimum alongside
+            # the latest-N history (a GAN's best checkpoint is rarely its
+            # last — the 30k flagship run bottomed at step 20k)
+            best_metric="fmd" if evaluator is not None else None,
+        )
         if ckpt_dir is not None else None
     )
     import time as _time
@@ -190,9 +196,12 @@ def train_from_store(
                 drain(p)
             if do_eval:
                 t_ev = _time.perf_counter()
-                row = {f"eval_{k}": v for k, v in evaluator(state).items()}
+                raw = evaluator(state)
+                row = {f"eval_{k}": v for k, v in raw.items()}
                 row["eval_seconds"] = _time.perf_counter() - t_ev
                 logger.log(done, row)
+                if writer is not None:
+                    writer.maybe_save_best(done, state, raw)
             if do_ckpt:
                 writer.save(done, state)  # async: returns immediately
             if do_eval or do_ckpt:
@@ -267,7 +276,10 @@ def train(
     logger = MetricsLogger(log_dir)
     timer = StepTimer(window=max(1, tc.log_every))
     writer = (
-        CheckpointWriter(ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep)
+        CheckpointWriter(
+            ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep,
+            best_metric="fmd" if evaluator is not None else None,
+        )
         if ckpt_dir is not None else None
     )
     metrics = {}
@@ -286,9 +298,12 @@ def train(
                 import time as _t
 
                 t_ev = _t.perf_counter()
-                row = {f"eval_{k}": v for k, v in evaluator(state).items()}
+                raw = evaluator(state)
+                row = {f"eval_{k}": v for k, v in raw.items()}
                 row["eval_seconds"] = _t.perf_counter() - t_ev
                 logger.log(int(i + 1), row)
+                if writer is not None:
+                    writer.maybe_save_best(i + 1, state, raw)
             if writer is not None and (i + 1) % tc.ckpt_every == 0:
                 writer.save(i + 1, state)  # async: training continues
                 _save_data_state(ckpt_dir, batches)

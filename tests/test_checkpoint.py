@@ -146,3 +146,64 @@ def test_async_checkpoint_writer(tmp_path):
     assert int(restored.step) == 3
     _gan, _audio, bundle_state = restore_bundle(path)
     assert int(bundle_state.step) == 3
+
+
+def test_best_checkpoint_retention(tmp_path):
+    """The best-by-eval-metric slot survives the latest-N GC (a GAN's best
+    checkpoint is rarely its last — the 30k flagship run's eval_fmd minimum
+    at step 20k was deleted by keep=3 before this slot existed)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from music2dance_tpu.ckpt.orbax_io import (
+        CheckpointWriter,
+        best_step_info,
+        checkpoint_steps,
+        restore_bundle,
+        restore_checkpoint,
+    )
+
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+    path = str(tmp_path / "best_ckpt")
+    # fmd goes 5.0 -> 0.8 -> 0.2 (best) -> 0.9: the step-3 slot must win
+    fmds = {1: 5.0, 2: 0.8, 3: 0.2, 4: 0.9}
+    with CheckpointWriter(path, GAN, AUDIO, tc, max_to_keep=2,
+                          best_metric="fmd") as w:
+        for s, v in fmds.items():
+            st = state.replace(step=jnp.asarray(s, jnp.int32))
+            w.save(s, st)
+            saved = w.maybe_save_best(s, st, {"fmd": v, "other": 0.0})
+            assert saved == (v == min(list(fmds.values())[:s]))
+    assert checkpoint_steps(path) == [3, 4]  # GC ate steps 1-2
+    meta = best_step_info(path)
+    assert meta == {"step": 3, "metric": "fmd", "value": 0.2}
+    best = restore_checkpoint(path, state, step="best")
+    assert int(best.step) == 3
+    _g, _a, st_best = restore_bundle(path, step="best")
+    assert int(st_best.step) == 3
+    _g, _a, st_latest = restore_bundle(path, step="latest")
+    assert int(st_latest.step) == 4
+
+    # a resumed run keeps the running best: a worse value does NOT replace
+    with CheckpointWriter(path, GAN, AUDIO, tc, max_to_keep=2,
+                          best_metric="fmd") as w:
+        assert not w.maybe_save_best(
+            5, state.replace(step=jnp.asarray(5, jnp.int32)), {"fmd": 0.5})
+        assert w.maybe_save_best(
+            6, state.replace(step=jnp.asarray(6, jnp.int32)), {"fmd": 0.1})
+    assert best_step_info(path)["step"] == 6
+
+    # non-finite values never become "best"; missing key is a no-op
+    with CheckpointWriter(path, GAN, AUDIO, tc, best_metric="fmd") as w:
+        assert not w.maybe_save_best(7, state, {"fmd": float("nan")})
+        assert not w.maybe_save_best(7, state, {"loss": 1.0})
+
+    # a bundle without a best/ slot fails loudly on step="best"
+    plain = str(tmp_path / "plain")
+    with CheckpointWriter(plain, GAN, AUDIO, tc) as w:
+        w.save(1, state)
+    with pytest.raises(FileNotFoundError, match="best"):
+        restore_checkpoint(plain, state, step="best")

@@ -96,6 +96,37 @@ def test_train_loop_emits_eval_rows(tmp_path):
                if k.startswith("eval_"))
 
 
+def test_train_loop_keeps_best_checkpoint(tmp_path):
+    """Training with eval + checkpoints populates the best-by-eval_fmd slot
+    and restore(step='best') loads it (the best GAN checkpoint is rarely
+    the last one — the latest-N GC alone would delete it)."""
+    from music2dance_tpu.ckpt.orbax_io import best_step_info, restore_bundle
+
+    tc = TrainConfig(batch_size=4, n_critic=1, eval_every=2, log_every=2,
+                     ckpt_every=2, ckpt_keep=2)
+    src = SyntheticClipSource(8, 0.5, AUDIO, LAYOUT)
+    tr, _va = split_source(src, val_fraction=0.25, seed=0)
+    ds = make_dataset(tr, 4, 0.5, AUDIO, seed=0)
+    val_batch = synthetic_batch(jax.random.key(5), 4, 0.5, AUDIO, LAYOUT,
+                                through_frontend=False)
+    ev = Evaluator(GAN, val_batch)
+    ckpt_dir = str(tmp_path / "ckpt")
+    log_dir = str(tmp_path / "logs")
+    train(GAN, tc, AUDIO, iter(ds), total_steps=4, ckpt_dir=ckpt_dir,
+          log_dir=log_dir, evaluator=ev)
+
+    meta = best_step_info(ckpt_dir)
+    assert meta is not None and meta["metric"] == "fmd"
+    assert meta["step"] in (2, 4)
+    _g, _a, st = restore_bundle(ckpt_dir, step="best")
+    assert int(st.step) == meta["step"]
+    # the recorded best value IS the minimum of the logged eval_fmd rows
+    rows = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    fmds = {r["step"]: r["eval_fmd"] for r in rows if "eval_fmd" in r}
+    assert meta["value"] == min(fmds.values())
+    assert meta["step"] == min(fmds, key=fmds.get)
+
+
 def test_evaluator_beat_alignment_with_waves():
     """When val batches carry raw waves, the evaluator reports generated
     and real beat alignment (the audio-conditioning progress meter)."""

@@ -30,6 +30,9 @@ flags.DEFINE_enum("corpus", "beat", ["beat", "noise"],
 flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
 flags.DEFINE_string("metrics_dir", None, "metrics JSONL directory")
 flags.DEFINE_string("restore", None, "checkpoint to resume from")
+flags.DEFINE_string("restore_step", "latest",
+                    "which step of --restore to load: a number, 'latest', "
+                    "or 'best' (the best-by-eval_fmd slot)")
 flags.DEFINE_string("restore_torch", None,
                     "torch checkpoint (.pt, {'generator','discriminator'"
                     "[,'opt_g','opt_d']}) to start from — the reference-"
@@ -162,7 +165,9 @@ def main(argv):
     if FLAGS.restore:
         from music2dance_tpu.ckpt.orbax_io import restore_bundle
 
-        _, _, state = restore_bundle(FLAGS.restore)
+        rs = (FLAGS.restore_step if FLAGS.restore_step in ("latest", "best")
+              else int(FLAGS.restore_step))
+        _, _, state = restore_bundle(FLAGS.restore, step=rs)
     elif FLAGS.restore_torch:
         import jax
         import numpy as np
