@@ -198,7 +198,9 @@ def _jit_masked(cfg: AudioConfig):
     return jax.jit(run)
 
 
-def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
+def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig(),
+                          pad_to_samples: "int | None" = None,
+                          pad_to_batch: "int | None" = None):
     """Variable-length songs -> ONE jitted masked extraction.
 
     Each song is reflect-padded on host with ITS OWN tail (numpy, cheap),
@@ -206,6 +208,12 @@ def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
     ``extract_features`` would — batching via zero padding alone corrupts
     each song's last frame (it reads the next song's zeros instead of the
     reflected tail). Returns (feats [B, T_max, F] on device, t_valid [B]).
+
+    ``pad_to_samples``/``pad_to_batch`` pad the device-side batch out to a
+    fixed shape grid (extra columns are zeros excluded by the per-song
+    mask; extra rows get t_valid 0): the serving batcher uses them to keep
+    the jit cache bounded at |batch buckets| x |length buckets| programs
+    instead of one per request shape (infer/serving.py).
 
     When EVERY input array is int16 (raw PCM16 — data/wav.load_wav_pcm16),
     the padded batch is shipped to the device as int16 and dequantized
@@ -220,9 +228,22 @@ def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
     all_i16 = len(waves) > 0 and all(w.dtype == np.int16 for w in waves)
     host_dtype = np.int16 if all_i16 else np.float32
     p = cfg.n_fft // 2 if cfg.center else 0
+    n_real = len(waves)
     lens = np.array([len(w) for w in waves], np.int64)
     l_max = int(lens.max())
-    rows = np.zeros((len(waves), l_max + 2 * p), host_dtype)
+    if pad_to_samples is not None:
+        if pad_to_samples < l_max:
+            raise ValueError(
+                f"pad_to_samples={pad_to_samples} < longest song ({l_max})"
+            )
+        l_max = int(pad_to_samples)
+    if pad_to_batch is not None:
+        if pad_to_batch < n_real:
+            raise ValueError(
+                f"pad_to_batch={pad_to_batch} < batch size ({n_real})"
+            )
+        lens = np.concatenate([lens, np.zeros(pad_to_batch - n_real, np.int64)])
+    rows = np.zeros((len(lens), l_max + 2 * p), host_dtype)
     for i, w in enumerate(waves):
         if not all_i16:
             # mixed batches fall back to f32: any int16 member must be
@@ -237,6 +258,7 @@ def pad_and_extract_batch(waves, cfg: AudioConfig = AudioConfig()):
     # the per-song centering is already materialized -> extract center=False
     cfg_nc = dataclasses.replace(cfg, center=False)
     t_valid = (1 + lens // cfg.hop_length).astype(np.int32)
+    t_valid[n_real:] = 0  # batch-pad rows hold no valid frames
     feats = _jit_masked(cfg_nc)(
         jnp.asarray(rows), jnp.asarray(lens + 2 * p, jnp.int32)
     )

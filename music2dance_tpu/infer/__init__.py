@@ -2,5 +2,11 @@
 
 from .decode import decode_poses, jit_decoder, streaming_decode_step
 from .api import Music2DanceModel
+from .serving import BatchingEngine, InferenceServer, ServingConfig
+from .export import ExportedDecoder, export_decoder
 
-__all__ = ["decode_poses", "jit_decoder", "streaming_decode_step", "Music2DanceModel"]
+__all__ = [
+    "decode_poses", "jit_decoder", "streaming_decode_step", "Music2DanceModel",
+    "BatchingEngine", "InferenceServer", "ServingConfig",
+    "ExportedDecoder", "export_decoder",
+]

@@ -29,15 +29,19 @@ def decode_poses(
     g_params,
     cfg: GeneratorConfig,
     feats: jax.Array,
-    key: jax.Array,
+    key: Optional[jax.Array],
     lengths: Optional[jax.Array] = None,
     impl: str = "auto",
+    z: Optional[jax.Array] = None,
 ) -> jax.Array:
     """feats [B, T, F] -> poses [B, T, n_joints, joint_dim].
 
     ``lengths`` [B] marks per-song valid frame counts; frames at t >=
     length are zeroed. ``key`` seeds the per-song latent z (fixed key ->
-    deterministic decode, tested in tests/test_infer.py).
+    deterministic decode, tested in tests/test_infer.py). Alternatively
+    pass ``z`` [B, noise_dim] directly (key is then ignored) — the
+    serving batcher uses this so each request's latent depends only on
+    its own seed, never on which batch it was coalesced into.
 
     impl "auto" uses the fused Pallas scan kernel on TPU when the config
     supports it (~1.9x frames/sec at batch 64, exact same outputs —
@@ -46,7 +50,10 @@ def decode_poses(
     from ..ops.fused_generator import fused_apply, supports_fused
 
     b, t, _ = feats.shape
-    z = jax.random.normal(key, (b, cfg.noise_dim), feats.dtype)
+    if z is None:
+        z = jax.random.normal(key, (b, cfg.noise_dim), feats.dtype)
+    else:
+        z = jnp.asarray(z, feats.dtype)
     if (
         impl in ("auto", "fused")
         and jax.default_backend() == "tpu"
@@ -63,12 +70,22 @@ def decode_poses(
 
 
 @functools.lru_cache(maxsize=8)
-def jit_decoder(cfg: GeneratorConfig, masked: bool):
-    """Jitted decoder specialized to a generator config."""
+def jit_decoder(cfg: GeneratorConfig, masked: bool, with_z: bool = False):
+    """Jitted decoder specialized to a generator config.
+
+    ``with_z=True`` takes a precomputed [B, noise_dim] latent instead of a
+    PRNG key (per-request-deterministic serving path, infer/serving.py).
+    """
+    if masked and with_z:
+        return jax.jit(
+            lambda p, f, z, l: decode_poses(p, cfg, f, None, lengths=l, z=z)
+        )
     if masked:
         return jax.jit(
             lambda p, f, k, l: decode_poses(p, cfg, f, k, lengths=l)
         )
+    if with_z:
+        return jax.jit(lambda p, f, z: decode_poses(p, cfg, f, None, z=z))
     return jax.jit(lambda p, f, k: decode_poses(p, cfg, f, k))
 
 

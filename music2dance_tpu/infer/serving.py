@@ -1,0 +1,349 @@
+"""Production serving: dynamic request batching + an HTTP front end.
+
+The reference repo stops at a one-shot generate CLI (SURVEY.md §3.3:
+``generate.py`` loads a checkpoint and decodes one song). Serving many
+concurrent requests from one TPU chip needs two things that CLI shape
+doesn't have, and both are TPU-architecture constraints, not web
+plumbing:
+
+1. **Dynamic batching.** A single-song decode is a [1, H] x [H, 3H]
+   matmul per timestep — 1 of the MXU's 128 rows. Concurrent requests
+   are coalesced into ONE masked batched decode (the same two-jitted-call
+   path as ``Music2DanceModel.generate_batch``), so load rides the batch
+   dimension the hardware wants. Requests are answered through per-request
+   futures; each request's latent z is derived from its OWN seed
+   (``decode_poses(z=...)``), so a request's result depends only on its
+   (song, seed) — never on which batch it was coalesced into (identical
+   up to XLA reduction-order noise between differently-shaped compiled
+   programs; tested: tests/test_serving.py).
+
+2. **Static-shape discipline.** XLA compiles one program per input shape;
+   free-form request shapes would retrace forever and a serving process
+   would spend its life in the compiler. Every batch is padded onto a
+   fixed grid — batch size up to the next power of two (<= max_batch),
+   song length up to the next multiple of ``bucket_seconds`` — bounding
+   the jit cache at |batch buckets| x |length buckets| programs, each
+   compiled exactly once and warmable at startup (``warmup()``).
+
+The HTTP layer is stdlib-only (ThreadingHTTPServer): POST /generate with
+raw little-endian samples (int16 or float32) returns the pose sequence as
+an .npy blob; GET /healthz returns model + batching stats. Raw PCM16
+request bodies keep the half-width host->device transfer path end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import Music2DanceModel
+from .decode import jit_decoder
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    """Batching/shape-grid knobs.
+
+    max_batch: largest coalesced batch (also the largest batch bucket).
+    max_wait_ms: how long a non-full batch waits for stragglers once it
+        has at least one request. Latency floor for a lone request.
+    bucket_seconds: song-length grid pitch; songs pad up to the next
+        multiple. Coarser = fewer compiled programs, more wasted frames.
+    max_seconds: longest accepted song (requests beyond it are rejected
+        up front — an unbounded length axis would defeat the grid).
+    """
+
+    max_batch: int = 16
+    max_wait_ms: float = 20.0
+    bucket_seconds: float = 8.0
+    max_seconds: float = 64.0
+
+    def batch_bucket(self, n: int) -> int:
+        """Smallest power of two >= n, capped at max_batch."""
+        if n > self.max_batch:
+            raise ValueError(f"batch {n} > max_batch {self.max_batch}")
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def length_bucket(self, n_samples: int, sample_rate: int) -> int:
+        """Smallest multiple of bucket_seconds (in samples) >= n_samples."""
+        pitch = max(1, int(round(self.bucket_seconds * sample_rate)))
+        limit = int(round(self.max_seconds * sample_rate))
+        if n_samples > limit:
+            raise ValueError(
+                f"song of {n_samples} samples exceeds max_seconds="
+                f"{self.max_seconds} at {sample_rate} Hz"
+            )
+        return min(-(-n_samples // pitch) * pitch, limit)
+
+
+@dataclasses.dataclass
+class _Request:
+    waveform: np.ndarray
+    seed: Optional[int]
+    future: Future
+
+
+class BatchingEngine:
+    """Coalesces concurrent generate() calls into bucketed batched decodes.
+
+    One background worker thread drains a queue: it takes the first
+    waiting request, gathers more until the batch is full or max_wait_ms
+    has passed, pads the group onto the (batch, length) grid, and runs the
+    two jitted calls (masked extraction + masked decode). Results resolve
+    each request's Future.
+    """
+
+    def __init__(self, model: Music2DanceModel, cfg: ServingConfig = ServingConfig()):
+        self.model = model
+        self.cfg = cfg
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._seed_counter = 0
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "padded_slots": 0, "buckets": {}}
+        self._worker = threading.Thread(
+            target=self._loop, name="m2d-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ---------------------------------------------------------- public
+    def submit(self, waveform: np.ndarray, seed: Optional[int] = None) -> Future:
+        """Enqueue one song; the Future resolves to [T, n_joints, joint_dim].
+
+        ``waveform``: float or raw PCM16 int16 samples at the model's
+        sample rate. ``seed=None`` draws a fresh server-side seed (still
+        per-request: the latent never depends on batch composition).
+        """
+        if self._stop.is_set():
+            raise RuntimeError("engine is closed")
+        w = np.asarray(waveform)
+        if w.ndim != 1 or len(w) == 0:
+            raise ValueError(f"waveform must be 1-D and non-empty, got {w.shape}")
+        # reject over-long songs NOW, on the caller's thread
+        self.cfg.length_bucket(len(w), self.model.audio.sample_rate)
+        if seed is None:
+            with self._lock:
+                seed = self._seed_counter
+                self._seed_counter += 1
+        fut: Future = Future()
+        self._q.put(_Request(w, int(seed), fut))
+        return fut
+
+    def generate(self, waveform: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(waveform, seed).result()
+
+    def warmup(self, lengths_seconds: Optional[Sequence[float]] = None) -> int:
+        """Pre-compile grid programs so first requests don't hit the
+        compiler. Returns the number of (batch, length) programs built.
+        Default: every length bucket at batch bucket 1 and max_batch."""
+        sr = self.model.audio.sample_rate
+        if lengths_seconds is None:
+            n = int(round(self.cfg.max_seconds / self.cfg.bucket_seconds))
+            lengths_seconds = [
+                self.cfg.bucket_seconds * (i + 1) for i in range(max(1, n))
+            ]
+        count = 0
+        for secs in lengths_seconds:
+            for b in {1, self.cfg.max_batch}:
+                wave = np.zeros(int(round(secs * sr)), np.float32)
+                reqs = [
+                    _Request(wave, i, Future()) for i in range(b)
+                ]
+                self._run_batch(reqs)
+                count += 1
+        return count
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+        # fail anything still queued
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("engine closed"))
+
+    # ---------------------------------------------------------- worker
+    def _loop(self):
+        import time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
+            while len(batch) < self.cfg.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 — worker must survive
+                with self._lock:
+                    self.stats["errors"] += 1
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _run_batch(self, batch: "list[_Request]"):
+        from ..audio.frontend import pad_and_extract_batch
+
+        model, cfg = self.model, self.cfg
+        sr = model.audio.sample_rate
+        b_bucket = cfg.batch_bucket(len(batch))
+        l_bucket = max(
+            cfg.length_bucket(len(r.waveform), sr) for r in batch
+        )
+        feats, lengths = pad_and_extract_batch(
+            [r.waveform for r in batch], model.audio,
+            pad_to_samples=l_bucket, pad_to_batch=b_bucket,
+        )
+        # per-REQUEST latents: z_i depends only on the request's seed, so
+        # the same (song, seed) decodes the same in any batch mix
+        # (matches Music2DanceModel.generate's z for the same seed).
+        noise = model.gan.generator.noise_dim
+        z = np.zeros((b_bucket, noise), np.float32)
+        for i, r in enumerate(batch):
+            z[i] = np.asarray(
+                jax.random.normal(jax.random.key(r.seed), (1, noise))
+            )[0]
+        poses = jit_decoder(model.gan.generator, masked=True, with_z=True)(
+            model.g_params, feats, jnp.asarray(z), jnp.asarray(lengths)
+        )
+        poses = np.asarray(poses)
+        with self._lock:
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += b_bucket - len(batch)
+            key = f"{b_bucket}x{l_bucket}"
+            self.stats["buckets"][key] = self.stats["buckets"].get(key, 0) + 1
+        for i, req in enumerate(batch):
+            req.future.set_result(poses[i, : lengths[i]])
+
+
+class InferenceServer:
+    """Stdlib HTTP server in front of a BatchingEngine.
+
+    POST /generate?dtype={int16|float32}&seed=N
+        body: raw little-endian samples at the model's sample rate
+        200: .npy blob, float32 [T, n_joints, joint_dim]
+        400/413: malformed input / song longer than max_seconds
+    GET /healthz
+        200: JSON {status, sample_rate, joints, batching stats}
+    """
+
+    def __init__(self, model: Music2DanceModel,
+                 cfg: ServingConfig = ServingConfig(),
+                 host: str = "127.0.0.1", port: int = 0):
+        self.engine = BatchingEngine(model, cfg)
+        engine = self.engine
+        layout = model.gan.generator.layout
+        sr = model.audio.sample_rate
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if urlparse(self.path).path != "/healthz":
+                    self._send(404, b'{"error": "not found"}', "application/json")
+                    return
+                with engine._lock:
+                    stats = json.loads(json.dumps(engine.stats))
+                info = {
+                    "status": "ok",
+                    "sample_rate": sr,
+                    "n_joints": layout.n_joints,
+                    "joint_dim": layout.joint_dim,
+                    "stats": stats,
+                }
+                self._send(200, json.dumps(info).encode(), "application/json")
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                if parsed.path != "/generate":
+                    self._send(404, b'{"error": "not found"}', "application/json")
+                    return
+                q = parse_qs(parsed.query)
+                dtype = q.get("dtype", ["float32"])[0]
+                if dtype not in ("int16", "float32"):
+                    self._send(400, b'{"error": "dtype must be int16|float32"}',
+                               "application/json")
+                    return
+                seed = q.get("seed", [None])[0]
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
+                if n == 0 or n % np_dtype.itemsize:
+                    self._send(400, b'{"error": "body length not a multiple '
+                               b'of the sample size"}', "application/json")
+                    return
+                wave = np.frombuffer(body, np_dtype)
+                try:
+                    fut = engine.submit(
+                        wave, None if seed is None else int(seed)
+                    )
+                    poses = fut.result()
+                except ValueError as e:
+                    code = 413 if "max_seconds" in str(e) else 400
+                    self._send(code, json.dumps({"error": str(e)}).encode(),
+                               "application/json")
+                    return
+                buf = io.BytesIO()
+                np.save(buf, np.asarray(poses, np.float32))
+                self._send(200, buf.getvalue(), "application/octet-stream")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> "tuple[str, int]":
+        return self._httpd.server_address[:2]
+
+    def start(self):
+        """Serve on a background thread (tests / embedding)."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="m2d-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.engine.close()
