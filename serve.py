@@ -1,0 +1,72 @@
+"""CLI serving entry point: checkpoint -> batched HTTP inference.
+
+  python serve.py --ckpt runs/full --port 8080
+  python serve.py --ckpt runs/full --step best --max_batch 32 --warmup
+
+Request contract (music2dance_tpu/infer/serving.py):
+  POST /generate?dtype={int16|float32}&seed=N
+      body: raw little-endian mono samples AT THE MODEL SAMPLE RATE
+      (resample on the client — audio/resample.py has the kaiser
+      polyphase used by the generate.py CLI); response: .npy poses.
+  GET  /healthz   model geometry + batching stats.
+
+The reference stops at a one-shot generate CLI; this is the concurrent
+TPU serving surface (dynamic batching onto a static shape grid).
+"""
+
+from __future__ import annotations
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
+flags.DEFINE_string(
+    "step", "latest",
+    "checkpoint step to load: a number, 'latest', or 'best'")
+flags.DEFINE_string("host", "127.0.0.1", "bind address")
+flags.DEFINE_integer("port", 8080, "bind port (0 = ephemeral)")
+flags.DEFINE_integer("max_batch", 16, "largest coalesced request batch")
+flags.DEFINE_float("max_wait_ms", 20.0,
+                   "straggler wait once a batch has one request")
+flags.DEFINE_float("bucket_seconds", 8.0, "song-length shape-grid pitch")
+flags.DEFINE_float("max_seconds", 64.0, "longest accepted song")
+flags.DEFINE_bool("warmup", False,
+                  "precompile every (batch, length) grid program before "
+                  "accepting traffic (first requests skip the compiler)")
+flags.mark_flag_as_required("ckpt")
+
+
+def main(argv):
+    del argv
+    from music2dance_tpu.infer import (
+        InferenceServer,
+        Music2DanceModel,
+        ServingConfig,
+    )
+
+    step = FLAGS.step if FLAGS.step in ("latest", "best") else int(FLAGS.step)
+    model = Music2DanceModel.from_checkpoint(FLAGS.ckpt, step=step)
+    cfg = ServingConfig(
+        max_batch=FLAGS.max_batch,
+        max_wait_ms=FLAGS.max_wait_ms,
+        bucket_seconds=FLAGS.bucket_seconds,
+        max_seconds=FLAGS.max_seconds,
+    )
+    server = InferenceServer(model, cfg, host=FLAGS.host, port=FLAGS.port)
+    if FLAGS.warmup:
+        n = server.engine.warmup()
+        print(f"warmed {n} grid programs")
+    host, port = server.address
+    print(f"serving {FLAGS.ckpt} (step={step}) on http://{host}:{port} "
+          f"[max_batch={cfg.max_batch}, grid={cfg.bucket_seconds}s x "
+          f"{cfg.max_seconds}s, sr={model.audio.sample_rate}]")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -93,3 +93,53 @@ def test_train_cli_restores_torch_checkpoint(tmp_path):
     rows = [json.loads(l)
             for l in open(tmp_path / "m" / "metrics.jsonl")]
     assert any("d_loss" in r and np.isfinite(r["d_loss"]) for r in rows)
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """serve.py: checkpoint -> HTTP server; POST one song, get poses."""
+    import io
+    import time
+    import urllib.request
+
+    _, audio, _, _, ckpt = _make_ckpt(tmp_path)
+    wrapper = tmp_path / "wrap.py"
+    wrapper.write_text(_WRAPPER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, str(wrapper), os.path.join(REPO, "serve.py"),
+         "--ckpt", ckpt, "--port", "0", "--max_batch", "2",
+         "--bucket_seconds", "1.0", "--max_seconds", "4.0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=env,
+    )
+    try:
+        # the CLI prints "serving <ckpt> ... on http://host:port ..." once up
+        line = ""
+        deadline = time.monotonic() + 300
+        while "http://" not in line:
+            assert time.monotonic() < deadline, "serve.py never came up"
+            line = proc.stdout.readline()
+            assert line, f"serve.py exited:\n{proc.stderr.read()[-3000:]}"
+        addr = line.split("http://")[1].split()[0]
+
+        rng = np.random.default_rng(0)
+        wave = rng.standard_normal(audio.sample_rate // 2).astype("<f4")
+        req = urllib.request.Request(
+            f"http://{addr}/generate?dtype=float32&seed=5",
+            data=wave.tobytes(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            assert resp.status == 200
+            poses = np.load(io.BytesIO(resp.read()))
+        t = 1 + len(wave) // audio.hop_length
+        layout_joints = 23  # full JointLayout default in _make_ckpt's tiny_gan
+        assert poses.shape[0] == t and poses.shape[1] == layout_joints
+        assert np.isfinite(poses).all()
+
+        with urllib.request.urlopen(f"http://{addr}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["stats"]["requests"] == 1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
