@@ -44,7 +44,7 @@ def main(argv):
 
     if FLAGS.wav_dir:
         names = sorted(f for f in os.listdir(FLAGS.wav_dir)
-                       if f.endswith((".wav", ".flac")))
+                       if f.endswith((".wav", ".flac", ".aiff", ".aif")))
         # mono PCM16 files already at the model rate stay int16 end-to-end
         # (half the host->device bytes; bit-identical features) — mixed
         # batches fall back to f32 in pad_and_extract_batch
@@ -55,7 +55,8 @@ def main(argv):
         outs = model.generate_batch(waves, seed=FLAGS.seed)
         os.makedirs(FLAGS.out_dir, exist_ok=True)
         for n, poses in zip(names, outs):
-            np.save(os.path.join(FLAGS.out_dir, n[:-4] + ".npy"), poses)
+            stem = os.path.splitext(n)[0]
+            np.save(os.path.join(FLAGS.out_dir, stem + ".npy"), poses)
         print(f"decoded {len(outs)} songs -> {FLAGS.out_dir}")
         return
 

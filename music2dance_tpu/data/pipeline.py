@@ -130,7 +130,7 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
         self._load_wav = load_wav
         self._target_sr = target_sr
         wavs = sorted(f for f in os.listdir(root)
-                      if f.endswith((".wav", ".flac")))
+                      if f.endswith((".wav", ".flac", ".aiff", ".aif")))
         self._pairs = []
         for w in wavs:
             stem = os.path.splitext(w)[0]
@@ -141,7 +141,7 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
                 warnings.warn(f"{w}: no paired pose file {p}, skipping")
         if not self._pairs:
             raise FileNotFoundError(
-                f"no paired .wav/.flac + .npy clips under {root}"
+                f"no paired .wav/.flac/.aiff + .npy clips under {root}"
             )
 
     def __len__(self) -> int:

@@ -165,16 +165,16 @@ def _sniff_container(head: bytes) -> str:
 
 
 def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
-    """Decode a WAV or FLAC file to (mono float32 samples, sample_rate).
+    """Decode a WAV, FLAC or AIFF file to (mono float32 samples, rate).
 
     ``target_sr``: resample to this rate when the file's native rate
     differs (librosa.load(path, sr=...) semantics — SURVEY.md §3.1); the
     kaiser-sinc polyphase resampler lives in audio/resample.py.
 
-    Non-WAV input fails loudly with the detected format named: the
+    Unsupported input fails loudly with the detected format named: the
     reference's librosa.load accepts any soundfile/audioread codec, this
-    build decodes WAV (PCM16/24/32, float32, EXTENSIBLE) and FLAC
-    natively — everything else must be converted first.
+    build decodes WAV (PCM16/24/32, float32, EXTENSIBLE), FLAC and
+    AIFF/AIFC natively — everything else must be converted first.
     """
     with open(path, "rb") as f:
         head = f.read(12)
@@ -183,6 +183,10 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
         from .flac import load_flac
 
         y, sr = load_flac(path)
+    elif kind == "aiff":
+        from .aiff import load_aiff
+
+        y, sr = load_aiff(path)
     elif kind != "wav":
         what = (
             f"a {kind.upper()} file" if kind != "unknown"
@@ -190,8 +194,8 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
         )
         raise ValueError(
             f"{path!r} is {what}: only WAV (PCM 16/24/32-bit, float32, "
-            "WAVE_FORMAT_EXTENSIBLE) and FLAC are supported. Convert it "
-            f"first, e.g. `ffmpeg -i {os.path.basename(path)} out.wav`."
+            "WAVE_FORMAT_EXTENSIBLE), FLAC and AIFF/AIFC are supported. "
+            f"Convert it first, e.g. `ffmpeg -i {os.path.basename(path)} out.wav`."
         )
     elif ensure_native() is not None:
         y, sr = load_wav_native(path)
