@@ -14,7 +14,7 @@ from absl import app, flags
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
-flags.DEFINE_string("wav", None, "input song (.wav)")
+flags.DEFINE_string("wav", None, "input song (wav/flac/aiff/mp3/ogg)")
 flags.DEFINE_string("wav_dir", None, "directory of songs for batched decode")
 flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D]")
 flags.DEFINE_string("out_dir", "poses_out", "output directory for --wav_dir")
@@ -33,7 +33,8 @@ def _parse_step(s: str):
 
 def main(argv):
     del argv
-    from music2dance_tpu.data.wav import load_wav, load_wav_pcm16
+    from music2dance_tpu.data.wav import (SUPPORTED_EXTENSIONS, load_wav,
+                                          load_wav_pcm16)
     from music2dance_tpu.infer import Music2DanceModel
 
     model = Music2DanceModel.from_checkpoint(FLAGS.ckpt,
@@ -44,7 +45,7 @@ def main(argv):
 
     if FLAGS.wav_dir:
         names = sorted(f for f in os.listdir(FLAGS.wav_dir)
-                       if f.endswith((".wav", ".flac", ".aiff", ".aif")))
+                       if f.endswith(SUPPORTED_EXTENSIONS))
         # mono PCM16 files already at the model rate stay int16 end-to-end
         # (half the host->device bytes; bit-identical features) — mixed
         # batches fall back to f32 in pad_and_extract_batch

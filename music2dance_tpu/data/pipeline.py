@@ -125,12 +125,12 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
     """
 
     def __init__(self, root: str, target_sr: Optional[int] = None):
-        from .wav import load_wav  # native decoder with numpy fallback
+        from .wav import SUPPORTED_EXTENSIONS, load_wav
 
         self._load_wav = load_wav
         self._target_sr = target_sr
         wavs = sorted(f for f in os.listdir(root)
-                      if f.endswith((".wav", ".flac", ".aiff", ".aif")))
+                      if f.endswith(SUPPORTED_EXTENSIONS))
         self._pairs = []
         for w in wavs:
             stem = os.path.splitext(w)[0]
@@ -141,7 +141,8 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
                 warnings.warn(f"{w}: no paired pose file {p}, skipping")
         if not self._pairs:
             raise FileNotFoundError(
-                f"no paired .wav/.flac/.aiff + .npy clips under {root}"
+                f"no paired audio ({'/'.join(SUPPORTED_EXTENSIONS)}) + .npy "
+                f"clips under {root}"
             )
 
     def __len__(self) -> int:

@@ -4,8 +4,9 @@ The native path (native/m2d_wav.cc -> native/build/libm2dwav.so) is the
 framework's replacement for the audio-decode C code the reference gets
 from the librosa/audioread wheels. ``ensure_native()`` builds it with make
 on first use; if no toolchain is available, a pure-numpy RIFF parser with
-identical semantics (PCM16/24/32 + float32, mono mixdown) takes over — the
-two are cross-checked in tests/test_wav.py.
+identical semantics (PCM8/16/24/32 + float32, mono mixdown) takes over —
+the two are cross-checked in tests/test_wav.py. load_wav() also routes
+FLAC/AIFF (from-scratch decoders) and MP3/Ogg-Vorbis (system codecs).
 """
 
 from __future__ import annotations
@@ -124,6 +125,9 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
             ch, bits = fmt["channels"], fmt["bits"]
             if fmt["format"] == 3 and bits == 32:
                 x = np.frombuffer(body, "<f4").astype(np.float32)
+            elif fmt["format"] == 1 and bits == 8:
+                # 8-bit WAV is unsigned with a 128 bias (RIFF spec)
+                x = (np.frombuffer(body, np.uint8).astype(np.float32) - 128.0) / 128.0
             elif fmt["format"] == 1 and bits == 16:
                 x = np.frombuffer(body, "<i2").astype(np.float32) / 32768.0
             elif fmt["format"] == 1 and bits == 32:
@@ -164,17 +168,21 @@ def _sniff_container(head: bytes) -> str:
     return "unknown"
 
 
+#: every container load_wav decodes (sniffed by magic bytes, not extension)
+SUPPORTED_EXTENSIONS = (".wav", ".flac", ".aiff", ".aif", ".mp3", ".ogg", ".oga")
+
+
 def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
-    """Decode a WAV, FLAC or AIFF file to (mono float32 samples, rate).
+    """Decode a WAV/FLAC/AIFF/MP3/Ogg-Vorbis file to (mono f32, rate).
 
     ``target_sr``: resample to this rate when the file's native rate
     differs (librosa.load(path, sr=...) semantics — SURVEY.md §3.1); the
     kaiser-sinc polyphase resampler lives in audio/resample.py.
 
-    Unsupported input fails loudly with the detected format named: the
-    reference's librosa.load accepts any soundfile/audioread codec, this
-    build decodes WAV (PCM16/24/32, float32, EXTENSIBLE), FLAC and
-    AIFF/AIFC natively — everything else must be converted first.
+    WAV, FLAC and AIFF/AIFC decode on this package's from-scratch
+    decoders; MP3 and Ogg Vorbis bind the system codecs (data/mp3.py,
+    data/oggvorbis.py — the reference's own librosa→audioread strategy).
+    Anything else fails loudly with the detected format named.
     """
     with open(path, "rb") as f:
         head = f.read(12)
@@ -187,15 +195,36 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
         from .aiff import load_aiff
 
         y, sr = load_aiff(path)
+    elif kind == "mp3":
+        from .mp3 import load_mp3, mp3_available
+
+        if not mp3_available():
+            raise ValueError(
+                f"{path!r} is an MP3 file but system libmpg123 was not "
+                "found; convert it first, e.g. "
+                f"`ffmpeg -i {os.path.basename(path)} out.wav`."
+            )
+        y, sr = load_mp3(path)
+    elif kind == "ogg":
+        from .oggvorbis import load_ogg, vorbis_available
+
+        if not vorbis_available():
+            raise ValueError(
+                f"{path!r} is an Ogg file but system libvorbisfile was not "
+                "found; convert it first, e.g. "
+                f"`ffmpeg -i {os.path.basename(path)} out.wav`."
+            )
+        y, sr = load_ogg(path)
     elif kind != "wav":
         what = (
             f"a {kind.upper()} file" if kind != "unknown"
             else "not a recognized audio container"
         )
         raise ValueError(
-            f"{path!r} is {what}: only WAV (PCM 16/24/32-bit, float32, "
-            "WAVE_FORMAT_EXTENSIBLE), FLAC and AIFF/AIFC are supported. "
-            f"Convert it first, e.g. `ffmpeg -i {os.path.basename(path)} out.wav`."
+            f"{path!r} is {what}: supported formats are WAV (PCM "
+            "8/16/24/32-bit, float32, EXTENSIBLE), FLAC, AIFF/AIFC, MP3 and "
+            "Ogg Vorbis. Convert it first, e.g. "
+            f"`ffmpeg -i {os.path.basename(path)} out.wav`."
         )
     elif ensure_native() is not None:
         y, sr = load_wav_native(path)

@@ -2,7 +2,7 @@
 //
 // The reference leans on librosa/audioread (C under the wheels) for audio
 // decode; this is the framework's own native equivalent: a dependency-free
-// RIFF/WAVE parser with PCM16/PCM24/PCM32/float32 support and mono
+// RIFF/WAVE parser with PCM8/PCM16/PCM24/PCM32/float32 support and mono
 // mixdown, exposed over a C ABI and loaded from python via ctypes
 // (music2dance_tpu/data/wav.py). Host-side decode runs in grain worker
 // processes and overlaps device compute (SURVEY.md §5 data pipeline row).
@@ -123,7 +123,8 @@ long m2d_wav_decode(const char* path, float* buffer, long capacity,
   const bool is_pcm = info.format == 1;
   const bool is_float = info.format == 3;
   if (!is_pcm && !is_float) return -2;
-  if (is_pcm && info.bits != 16 && info.bits != 24 && info.bits != 32)
+  if (is_pcm && info.bits != 8 && info.bits != 16 && info.bits != 24 &&
+      info.bits != 32)
     return -2;
   if (is_float && info.bits != 32) return -2;
 
@@ -149,6 +150,9 @@ long m2d_wav_decode(const char* path, float* buffer, long capacity,
         float tmp;
         memcpy(&tmp, s, 4);
         v = tmp;
+      } else if (info.bits == 8) {
+        // 8-bit WAV is unsigned with a 128 bias (RIFF spec)
+        v = ((float)s[0] - 128.0f) / 128.0f;
       } else if (info.bits == 16) {
         int16_t tmp;
         memcpy(&tmp, s, 2);
