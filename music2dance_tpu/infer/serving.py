@@ -26,9 +26,12 @@ plumbing:
    compiled exactly once and warmable at startup (``warmup()``).
 
 The HTTP layer is stdlib-only (ThreadingHTTPServer): POST /generate with
-raw little-endian samples (int16 or float32) returns the pose sequence as
-an .npy blob; GET /healthz returns model + batching stats. Raw PCM16
-request bodies keep the half-width host->device transfer path end to end.
+either an audio FILE body (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+bytes, decoded + resampled through the same load_wav path as generate.py)
+or raw little-endian samples (int16 or float32) at the model rate,
+returning the pose sequence as an .npy blob; GET /healthz returns model +
+batching stats. Raw PCM16 request bodies keep the half-width host->device
+transfer path end to end.
 """
 
 from __future__ import annotations
@@ -47,8 +50,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.wav import _sniff_container, load_wav
 from .api import Music2DanceModel
 from .decode import jit_decoder
+
+
+def _decode_file_body(body: bytes, target_sr: int) -> np.ndarray:
+    """Decode an uploaded audio file (bytes) to mono f32 at target_sr.
+
+    The codec libraries take paths, so the body lands in a temp file —
+    decode cost dwarfs the copy, and it keeps this the exact same code
+    path generate.py uses (load_wav: sniff -> decode -> resample).
+    """
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".audio")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        wave, _sr = load_wav(tmp, target_sr=target_sr)
+    finally:
+        os.unlink(tmp)
+    return wave
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,8 +271,13 @@ class BatchingEngine:
 class InferenceServer:
     """Stdlib HTTP server in front of a BatchingEngine.
 
-    POST /generate?dtype={int16|float32}&seed=N
-        body: raw little-endian samples at the model's sample rate
+    POST /generate?dtype={int16|float32}&seed=N[&format={auto|raw|file}]
+        body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+        bytes, decoded and resampled to the model rate through the same
+        path as generate.py), or raw little-endian samples already at
+        the model's sample rate. ``format=auto`` (default) sniffs;
+        ``raw`` / ``file`` force one interpretation (raw guards against
+        PCM that happens to start with container magic).
         200: .npy blob, float32 [T, n_joints, joint_dim]
         400/413: malformed input / song longer than max_seconds
     GET /healthz
@@ -300,15 +329,34 @@ class InferenceServer:
                     self._send(400, b'{"error": "dtype must be int16|float32"}',
                                "application/json")
                     return
+                fmt = q.get("format", ["auto"])[0]
+                if fmt not in ("auto", "raw", "file"):
+                    self._send(400, b'{"error": "format must be '
+                               b'auto|raw|file"}', "application/json")
+                    return
                 seed = q.get("seed", [None])[0]
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
-                np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
-                if n == 0 or n % np_dtype.itemsize:
-                    self._send(400, b'{"error": "body length not a multiple '
-                               b'of the sample size"}', "application/json")
+                if fmt != "raw" and _sniff_container(body[:12]) != "unknown":
+                    try:
+                        wave = _decode_file_body(body, sr)
+                    except ValueError as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
+                elif fmt == "file":
+                    self._send(400, b'{"error": "format=file but the body '
+                               b'is not a recognized audio container"}',
+                               "application/json")
                     return
-                wave = np.frombuffer(body, np_dtype)
+                else:
+                    np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
+                    if n == 0 or n % np_dtype.itemsize:
+                        self._send(400, b'{"error": "body length not a '
+                                   b'multiple of the sample size"}',
+                                   "application/json")
+                        return
+                    wave = np.frombuffer(body, np_dtype)
                 try:
                     fut = engine.submit(
                         wave, None if seed is None else int(seed)

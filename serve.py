@@ -4,10 +4,13 @@
   python serve.py --ckpt runs/full --step best --max_batch 32 --warmup
 
 Request contract (music2dance_tpu/infer/serving.py):
-  POST /generate?dtype={int16|float32}&seed=N
-      body: raw little-endian mono samples AT THE MODEL SAMPLE RATE
-      (resample on the client — audio/resample.py has the kaiser
-      polyphase used by the generate.py CLI); response: .npy poses.
+  POST /generate?dtype={int16|float32}&seed=N[&format={auto|raw|file}]
+      body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+      bytes, decoded + resampled server-side; e.g.
+      `curl --data-binary @song.mp3 :8080/generate > poses.npy`), or
+      raw little-endian mono samples AT THE MODEL SAMPLE RATE
+      (format=raw; PCM16 bodies keep the half-width host->device
+      path); response: .npy poses.
   GET  /healthz   model geometry + batching stats.
 
 The reference stops at a one-shot generate CLI; this is the concurrent

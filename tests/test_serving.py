@@ -3,6 +3,7 @@ HTTP front end, and batch-composition invariance of results."""
 
 import io
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -245,3 +246,87 @@ def test_concurrent_requests_coalesce(model):
         assert ran <= 5  # coalesced at least once (6 reqs, max_batch 4)
     finally:
         engine.close()
+
+
+def test_http_server_audio_file_bodies(model, tmp_path):
+    """POST bodies that are audio FILES (sniffed by magic bytes) ride the
+    same decode+resample path as generate.py — including an MP3 at a
+    different rate than the model's."""
+    from music2dance_tpu.data.mp3 import mp3_available
+    from music2dance_tpu.data.wav import load_wav, save_wav
+
+    server = InferenceServer(model, SCFG).start()
+    try:
+        host, port = server.address
+        url = f"http://{host}:{port}/generate"
+        w = _wave(23, 0.5)
+        want = model.generate(w, seed=7)
+
+        # WAV body at the model rate (PCM16 encode quantizes: compare to
+        # generating from the decoded file, not from the float original)
+        wav_path = str(tmp_path / "req.wav")
+        save_wav(wav_path, w, AUDIO.sample_rate)
+        decoded, _ = load_wav(wav_path)
+        want_wav = model.generate(decoded, seed=7)
+        req = urllib.request.Request(
+            url + "?seed=7", data=open(wav_path, "rb").read(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            poses = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(poses, want_wav, rtol=0, atol=1e-5)
+        assert poses.shape == want.shape
+
+        if mp3_available():
+            # MP3 at 2x the model rate: decode + resample server-side
+            from tests.codec_encoders import write_mp3
+
+            sr_in = 2 * AUDIO.sample_rate
+            rng = np.random.default_rng(5)
+            x = rng.standard_normal(sr_in // 2)
+            k = np.hanning(15)
+            x = np.convolve(x, k / k.sum(), "same")
+            x = (0.5 * x / np.abs(x).max()).astype(np.float32)
+            mp3_path = str(tmp_path / "req.mp3")
+            write_mp3(mp3_path, x, sr_in)
+            decoded_mp3, sr2 = load_wav(mp3_path, target_sr=AUDIO.sample_rate)
+            assert sr2 == AUDIO.sample_rate
+            want_mp3 = model.generate(decoded_mp3, seed=7)
+            req = urllib.request.Request(
+                url + "?seed=7", data=open(mp3_path, "rb").read(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                assert resp.status == 200
+                poses = np.load(io.BytesIO(resp.read()))
+            # engine results match the single-song path up to XLA
+            # reduction-order noise between differently-shaped programs
+            np.testing.assert_allclose(poses, want_mp3, rtol=0, atol=5e-5)
+
+        # format=raw forces raw interpretation even for container bytes
+        riff_like = (b"RIFF" + b"\x00" * 8)[:12]
+        raw = riff_like + _wave(3, 0.25).astype("<f4").tobytes()[:-12]
+        req = urllib.request.Request(
+            url + "?format=raw&dtype=float32", data=raw, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+
+        # format=file with a non-container body is a 400
+        req = urllib.request.Request(
+            url + "?format=file",
+            data=_wave(4, 0.25).astype("<f4").tobytes(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+
+        # a corrupt FLAC body surfaces the decoder's error as a 400
+        req = urllib.request.Request(
+            url, data=b"fLaC" + b"\x00" * 64, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        server.close()
