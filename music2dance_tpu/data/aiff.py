@@ -84,6 +84,8 @@ def load_aiff(path: str) -> "tuple[np.ndarray, int]":
             ch, n_frames, bits, sr = comm
             if ch < 1:
                 raise ValueError(f"bad channel count {ch} in {path!r}")
+            if size < 8 or off + 8 > len(data):
+                raise ValueError(f"short SSND chunk in {path!r}")
             (offset, _block) = struct.unpack(">II", data[off : off + 8])
             body = data[off + 8 + offset : off + size]
             x = _decode_samples(body, bits, comp, path)

@@ -126,10 +126,15 @@ def load_mp3(path: str) -> tuple[np.ndarray, int]:
                     h, ctypes.byref(rate), ctypes.byref(channels),
                     ctypes.byref(encoding),
                 )
-                if rate.value != sr or channels.value != ch:
+                if (
+                    rate.value != sr
+                    or channels.value != ch
+                    or encoding.value != _MPG123_ENC_FLOAT_32
+                ):
                     raise ValueError(
                         f"{path!r}: stream format changed mid-file "
-                        f"({sr} Hz/{ch}ch -> {rate.value} Hz/{channels.value}ch)"
+                        f"({sr} Hz/{ch}ch -> {rate.value} Hz/{channels.value}ch"
+                        f"/enc {encoding.value:#x})"
                     )
             elif rc not in (_MPG123_OK, _MPG123_NEED_MORE):
                 raise ValueError(

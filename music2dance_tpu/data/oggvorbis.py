@@ -20,6 +20,7 @@ import numpy as np
 
 # libvorbis return codes (vorbis/codec.h)
 _OV_ERRORS = {
+    -3: "OV_HOLE (data gap)",
     -128: "OV_EREAD (read error)",
     -129: "OV_EFAULT (internal fault)",
     -130: "OV_EIMPL (unimplemented feature)",
@@ -73,6 +74,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.ov_clear.restype = ctypes.c_int
         lib.ov_clear.argtypes = [ctypes.c_void_p]
+        lib.ov_pcm_seek.restype = ctypes.c_int
+        lib.ov_pcm_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         break
     return _lib
@@ -95,6 +98,11 @@ def load_ogg(path: str) -> tuple[np.ndarray, int]:
             f"{_OV_ERRORS.get(rc, f'error {rc}')}"
         )
     try:
+        # The open-time chain scan can leave the read cursor at the LAST
+        # link of a chained file (observed with this libvorbisfile:
+        # reading after open yielded only the final link); rewind
+        # explicitly — a no-op for single-stream files.
+        lib.ov_pcm_seek(vf, 0)
         vi_ptr = lib.ov_info(vf, -1)
         if not vi_ptr:
             raise ValueError(f"no Vorbis stream info in {path!r}")
@@ -104,13 +112,37 @@ def load_ogg(path: str) -> tuple[np.ndarray, int]:
             raise ValueError(f"invalid channel count {ch} in {path!r}")
         pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
         bitstream = ctypes.c_int(0)
+        link = 0  # current chain link; format changes across links rejected
         chunks: list[np.ndarray] = []
+        holes = 0
         while True:
             n = lib.ov_read_float(vf, ctypes.byref(pcm), 4096, ctypes.byref(bitstream))
             if n == 0:
                 break
-            if n < 0:  # OV_HOLE / OV_EBADLINK: skip the gap like ov_read does
+            if n < 0:
+                # OV_HOLE (-3) marks a recoverable gap; anything else at
+                # the same position would spin forever if retried blindly.
+                holes += 1
+                if n != -3 or holes > 64:
+                    raise ValueError(
+                        f"unrecoverable Vorbis decode error in {path!r}: "
+                        f"{_OV_ERRORS.get(n, f'error {n}')}"
+                    )
                 continue
+            if bitstream.value != link:
+                # chained stream (concatenated encodes): later links may
+                # change channels/rate — pcm[c] beyond the link's channel
+                # count would be an invalid pointer, so check first
+                link = bitstream.value
+                vi_ptr = lib.ov_info(vf, link)
+                info = _VorbisInfoHead.from_address(vi_ptr) if vi_ptr else None
+                if info is None or info.channels != ch or int(info.rate) != sr:
+                    raise ValueError(
+                        f"{path!r}: chained Ogg stream changes format at "
+                        f"link {link} ({ch}ch/{sr} Hz -> "
+                        f"{info.channels if info else '?'}ch/"
+                        f"{int(info.rate) if info else '?'} Hz)"
+                    )
             if ch == 1:
                 chunks.append(np.ctypeslib.as_array(pcm[0], shape=(n,)).copy())
             else:

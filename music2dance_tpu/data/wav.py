@@ -148,6 +148,20 @@ def load_wav_numpy(path: str) -> tuple[np.ndarray, int]:
     raise ValueError(f"no data chunk in {path!r}")
 
 
+def _looks_like_mpeg_frame(head: bytes) -> bool:
+    """Validate a full 4-byte MPEG audio frame header, not just the
+    11-bit sync — raw PCM whose first sample is e.g. int16 -1 starts
+    FF FF, which would pass a sync-only test (the serving layer sniffs
+    request bodies that may be raw samples)."""
+    if len(head) < 4 or head[0] != 0xFF or (head[1] & 0xE0) != 0xE0:
+        return False
+    version = (head[1] >> 3) & 0x3   # 01 reserved
+    layer = (head[1] >> 1) & 0x3     # 00 reserved
+    bitrate = (head[2] >> 4) & 0xF   # 1111 invalid
+    samplerate = (head[2] >> 2) & 0x3  # 11 reserved
+    return version != 1 and layer != 0 and bitrate != 0xF and samplerate != 3
+
+
 def _sniff_container(head: bytes) -> str:
     """Identify the audio container from its magic bytes ('wav', a known
     non-WAV format name, or 'unknown')."""
@@ -157,9 +171,7 @@ def _sniff_container(head: bytes) -> str:
         return "flac"
     if head[:4] == b"OggS":
         return "ogg"
-    if head[:3] == b"ID3" or (
-        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
-    ):
+    if head[:3] == b"ID3" or _looks_like_mpeg_frame(head):
         return "mp3"
     if head[:4] == b"FORM":
         return "aiff"
@@ -169,7 +181,9 @@ def _sniff_container(head: bytes) -> str:
 
 
 #: every container load_wav decodes (sniffed by magic bytes, not extension)
-SUPPORTED_EXTENSIONS = (".wav", ".flac", ".aiff", ".aif", ".mp3", ".ogg", ".oga")
+SUPPORTED_EXTENSIONS = (
+    ".wav", ".flac", ".aiff", ".aif", ".aifc", ".mp3", ".ogg", ".oga",
+)
 
 
 def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:

@@ -92,6 +92,11 @@ class ServingConfig:
     max_wait_ms: float = 20.0
     bucket_seconds: float = 8.0
     max_seconds: float = 64.0
+    # Upload cap, enforced BEFORE the body is read: raw f32 at max length
+    # is max_seconds*sr*4 bytes and no supported container is materially
+    # larger than raw, so 8x headroom over a 22.05 kHz song is generous
+    # while still bounding a hostile Content-Length.
+    max_body_bytes: int = 64 << 20
 
     def batch_bucket(self, n: int) -> int:
         """Smallest power of two >= n, capped at max_batch."""
@@ -336,13 +341,25 @@ class InferenceServer:
                     return
                 seed = q.get("seed", [None])[0]
                 n = int(self.headers.get("Content-Length", 0))
+                if n > cfg.max_body_bytes:
+                    # rejected before the body is read (bounded memory)
+                    self._send(413, json.dumps({
+                        "error": f"body of {n} bytes exceeds "
+                                 f"max_body_bytes={cfg.max_body_bytes}"
+                    }).encode(), "application/json")
+                    return
                 body = self.rfile.read(n)
                 if fmt != "raw" and _sniff_container(body[:12]) != "unknown":
                     try:
                         wave = _decode_file_body(body, sr)
-                    except ValueError as e:
+                    except Exception as e:
+                        # decoders document ValueError but malformed input
+                        # can surface struct.error etc. — every decode
+                        # failure must become a 400, never a dropped
+                        # connection from a crashed handler thread
                         self._send(400, json.dumps(
-                            {"error": str(e)}).encode(), "application/json")
+                            {"error": f"{type(e).__name__}: {e}"}).encode(),
+                            "application/json")
                         return
                 elif fmt == "file":
                     self._send(400, b'{"error": "format=file but the body '
@@ -366,6 +383,14 @@ class InferenceServer:
                     code = 413 if "max_seconds" in str(e) else 400
                     self._send(code, json.dumps({"error": str(e)}).encode(),
                                "application/json")
+                    return
+                except Exception as e:
+                    # engine closed / device runtime failure from the
+                    # batch worker: answer 500 instead of aborting the
+                    # connection with no status
+                    self._send(500, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode(),
+                        "application/json")
                     return
                 buf = io.BytesIO()
                 np.save(buf, np.asarray(poses, np.float32))

@@ -117,7 +117,7 @@ def _load_vorbis():
     return _vorbis
 
 
-def write_ogg(path, left, sr, right=None, quality=0.6):
+def write_ogg(path, left, sr, right=None, quality=0.6, serial=0x6D326474):
     """Encode float32 samples (mono, or stereo via ``right``) to Ogg Vorbis.
 
     Follows the canonical libvorbis encoder flow (three header packets on
@@ -144,7 +144,7 @@ def write_ogg(path, left, sr, right=None, quality=0.6):
     vbs.vorbis_comment_init(vc)
     vbs.vorbis_analysis_init(vd, vi)
     vbs.vorbis_block_init(vd, vb)
-    ogg.ogg_stream_init(stream, 0x6D326474)
+    ogg.ogg_stream_init(stream, serial)
 
     out = bytearray()
     og = OggPage()

@@ -232,3 +232,77 @@ def test_pipeline_pairs_mp3(tmp_path):
     assert len(src) == 1
     item = src[0]
     assert item["wave"].ndim == 1 and len(item["wave"]) >= len(x)
+
+
+@needs_vorbis
+def test_chained_ogg_same_format_decodes_both_links(tmp_path):
+    """Chained Ogg (concatenated encodes, distinct serials): same-format
+    links decode seamlessly to the combined length."""
+    sr = 22050
+    a = noise_signal(sr, seconds=0.5, seed=8)
+    b = noise_signal(sr, seconds=0.5, seed=9)
+    p1, p2 = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    write_ogg(p1, a, sr, serial=101)
+    write_ogg(p2, b, sr, serial=202)
+    chained = str(tmp_path / "chain.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(p1, "rb").read() + open(p2, "rb").read())
+    y, sr2 = load_ogg(chained)
+    assert sr2 == sr
+    assert len(y) == len(a) + len(b)
+    assert aligned_corr(y[: len(a)], a) > 0.97
+    assert aligned_corr(y[len(a):], b) > 0.97
+
+
+@needs_vorbis
+def test_chained_ogg_format_change_rejected(tmp_path):
+    """A later link changing the sample rate must fail loudly, not
+    silently concatenate wrong-tempo samples (or walk invalid channel
+    pointers on a channel-count change)."""
+    sr = 22050
+    a = noise_signal(sr, seconds=0.5, seed=8)
+    b = noise_signal(11025, seconds=0.5, seed=9)
+    p1, p2 = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    write_ogg(p1, a, sr, serial=101)
+    write_ogg(p2, b, 11025, serial=202)
+    chained = str(tmp_path / "chain.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(p1, "rb").read() + open(p2, "rb").read())
+    with pytest.raises(ValueError, match="chained Ogg stream changes format"):
+        load_ogg(chained)
+
+
+def test_sniff_rejects_raw_pcm_sync_lookalike():
+    """int16 PCM starting at sample -1 begins FF FF — a sync-only MPEG
+    test would misroute it (the serving layer sniffs request bodies)."""
+    from music2dance_tpu.data.wav import _sniff_container
+
+    assert _sniff_container(b"\xff\xff\xff\xff" + b"\x00" * 8) == "unknown"
+    assert _sniff_container(b"\xff\xfb\x90\x00" + b"\x00" * 8) == "mp3"  # MPEG1 L3 128k 44.1k
+    assert _sniff_container(b"ID3\x04" + b"\x00" * 8) == "mp3"
+
+
+def test_short_ssnd_aiff_raises_valueerror(tmp_path):
+    """A truncated SSND chunk must raise the module's documented
+    ValueError, not struct.error (serving maps ValueError to a 400)."""
+    from music2dance_tpu.data.aiff import load_aiff
+
+    comm = b"COMM" + (18).to_bytes(4, "big") + (
+        (1).to_bytes(2, "big") + (100).to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + b"\x40\x0c\xac\x44\x00\x00\x00\x00\x00\x00"  # 22050 as ext80
+    )
+    ssnd = b"SSND" + (4).to_bytes(4, "big") + b"\x00\x00\x00\x00"
+    body = b"AIFF" + comm + ssnd
+    p = str(tmp_path / "short.aiff")
+    with open(p, "wb") as f:
+        f.write(b"FORM" + len(body).to_bytes(4, "big") + body)
+    with pytest.raises(ValueError, match="short SSND"):
+        load_aiff(p)
+
+
+def test_supported_extensions_cover_aifc():
+    from music2dance_tpu.data.wav import SUPPORTED_EXTENSIONS
+
+    for ext in (".aifc", ".aif", ".aiff", ".mp3", ".ogg", ".oga"):
+        assert ext in SUPPORTED_EXTENSIONS

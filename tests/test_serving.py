@@ -1,6 +1,7 @@
 """Serving stack: dynamic batching semantics, shape-grid bucketing, the
 HTTP front end, and batch-composition invariance of results."""
 
+import dataclasses
 import io
 import threading
 import urllib.error
@@ -328,5 +329,47 @@ def test_http_server_audio_file_bodies(model, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=10)
         assert ei.value.code == 400
+    finally:
+        server.close()
+
+
+def test_http_server_body_cap_and_malformed_containers(model):
+    """Oversized Content-Length is rejected before the body is read
+    (413); malformed container bodies whose decoders raise non-ValueError
+    (struct.error from a short SSND chunk) still produce a 400 response
+    instead of a crashed handler thread."""
+    small = dataclasses.replace(SCFG, max_body_bytes=1 << 20)
+    server = InferenceServer(model, small).start()
+    try:
+        host, port = server.address
+        url = f"http://{host}:{port}/generate"
+
+        req = urllib.request.Request(url, data=b"\x00" * (2 << 20), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 413
+        assert b"max_body_bytes" in ei.value.read()
+
+        # truncated-SSND AIFF: decoder raises ValueError("short SSND")
+        comm = b"COMM" + (18).to_bytes(4, "big") + (
+            (1).to_bytes(2, "big") + (100).to_bytes(4, "big")
+            + (16).to_bytes(2, "big")
+            + b"\x40\x0c\xac\x44\x00\x00\x00\x00\x00\x00"
+        )
+        ssnd = b"SSND" + (4).to_bytes(4, "big") + b"\x00\x00\x00\x00"
+        body = b"AIFF" + comm + ssnd
+        aiff = b"FORM" + len(body).to_bytes(4, "big") + body
+        req = urllib.request.Request(url, data=aiff, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+
+        # raw int16 starting at sample -1 (FF FF): NOT sniffed as MP3
+        wave = np.full(int(0.25 * AUDIO.sample_rate), -1, "<i2")
+        req = urllib.request.Request(
+            url + "?dtype=int16", data=wave.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
     finally:
         server.close()
