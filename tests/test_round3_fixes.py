@@ -176,18 +176,31 @@ def test_pcm16_odd_body_falls_back(tmp_path):
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("magic,name", [
-    (b"ID3\x03\x00\x00\x00\x00\x00\x00rest", "MP3"),
-    (b"OggS\x00\x02" + b"\x00" * 20, "OGG"),
-    (b"FORM\x00\x00\x00\x20AIFF" + b"\x00" * 8, "AIFF"),
-    (b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 8, "M4A"),
+@pytest.mark.parametrize("magic", [
+    # corrupt bodies of formats the loader now DECODES (MP3/OGG/AIFF
+    # gained real decode paths after this test was first written): the
+    # decoders must fail with a clean ValueError, not crash or hang
+    b"ID3\x03\x00\x00\x00\x00\x00\x00rest",
+    b"OggS\x00\x02" + b"\x00" * 20,
+    b"FORM\x00\x00\x00\x20AIFF" + b"\x00" * 8,
 ])
-def test_non_wav_fails_loudly(tmp_path, magic, name):
+def test_corrupt_supported_container_fails_cleanly(tmp_path, magic):
     from music2dance_tpu.data.wav import load_wav
 
     p = tmp_path / "song.bin"
     p.write_bytes(magic + b"\x00" * 64)
-    with pytest.raises(ValueError, match=name):
+    with pytest.raises(ValueError):
+        load_wav(str(p))
+
+
+def test_unsupported_format_fails_loudly(tmp_path):
+    """Formats with no decoder (M4A/AAC — no system codec) still get the
+    named-format + conversion-hint error."""
+    from music2dance_tpu.data.wav import load_wav
+
+    p = tmp_path / "song.bin"
+    p.write_bytes(b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 72)
+    with pytest.raises(ValueError, match="M4A"):
         load_wav(str(p))
     with pytest.raises(ValueError, match="Convert"):
         load_wav(str(p))
