@@ -237,6 +237,65 @@ def check_torch_ckpt(ref: str):
                     f"pattern). First shapes: {json.dumps(shapes)[:600]}")
 
 
+
+
+def check_codec_decode(ref: str):
+    """MP3/Ogg decode parity vs librosa.load (which rides soundfile/
+    audioread — a fully independent decode stack from the mpg123/
+    libvorbisfile bindings under test)."""
+    try:
+        import librosa  # noqa: F401
+    except ImportError:
+        return PENDING, "librosa not installed (pip install librosa)"
+    import tempfile
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from codec_encoders import write_mp3, write_ogg
+
+    from music2dance_tpu.data.mp3 import load_mp3, mp3_available
+    from music2dance_tpu.data.oggvorbis import load_ogg, vorbis_available
+
+    rng = np.random.default_rng(0)
+    sr = 22050
+    x = rng.standard_normal(sr)
+    x = (0.5 * x / np.abs(x).max()).astype(np.float32)
+    failures, ran = [], []
+    with tempfile.TemporaryDirectory() as d:
+        for name, avail, writer, loader in (
+            ("mp3", mp3_available(), write_mp3, load_mp3),
+            ("ogg", vorbis_available(), write_ogg, load_ogg),
+        ):
+            if not avail:
+                continue
+            p = os.path.join(d, f"probe.{name}")
+            writer(p, x, sr)
+            ours, sr_ours = loader(p)
+            theirs, sr_lib = librosa.load(p, sr=None, mono=True)
+            if sr_ours != sr_lib:
+                failures.append(f"{name}: sr {sr_ours} vs librosa {sr_lib}")
+                continue
+            n = min(len(ours), len(theirs))
+            # codec delay conventions differ between decoders; align by
+            # cross-correlation before comparing
+            c = np.correlate(ours[:8192 + 4096], theirs[:4096], "valid")
+            off = int(np.argmax(np.abs(c)))
+            a, b = ours[off : off + n - off], theirs[: n - off]
+            corr = float(np.dot(a, b) /
+                         (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+            if corr < 0.99:
+                failures.append(f"{name}: corr {corr:.4f} < 0.99 vs librosa")
+            else:
+                ran.append(name)
+    if failures:
+        return FAIL, "; ".join(failures)
+    if not ran:
+        return PENDING, "no system codecs available to compare"
+    return PASS, f"decode matches librosa.load (corr > 0.99): {', '.join(ran)}"
+
+
 CHECKS = [
     ("reference-mount", check_reference_mount),
     ("librosa-parity", check_librosa_parity),
@@ -244,6 +303,7 @@ CHECKS = [
     ("joint-layout", check_joint_layout),
     ("architecture", check_architecture),
     ("torch-ckpt-roundtrip", check_torch_ckpt),
+    ("codec-decode", check_codec_decode),
 ]
 
 
