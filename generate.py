@@ -16,7 +16,10 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
 flags.DEFINE_string("wav", None, "input song (wav/flac/aiff/mp3/ogg)")
 flags.DEFINE_string("wav_dir", None, "directory of songs for batched decode")
-flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D]")
+flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D] "
+                    "(.npy, or .json with fps/layout metadata)")
+flags.DEFINE_enum("pose_format", "npy", ["npy", "json"],
+                  "per-song output format for --out_dir mode")
 flags.DEFINE_string("out_dir", "poses_out", "output directory for --wav_dir")
 flags.DEFINE_string("video", None, "render a stick-figure animation here (.mp4/.gif)")
 flags.DEFINE_integer("seed", 0, "latent seed")
@@ -35,6 +38,7 @@ def main(argv):
     del argv
     from music2dance_tpu.data.wav import (SUPPORTED_EXTENSIONS, load_wav,
                                           load_wav_pcm16)
+    from music2dance_tpu.infer.poses_io import save_poses
     from music2dance_tpu.infer import Music2DanceModel
 
     model = Music2DanceModel.from_checkpoint(FLAGS.ckpt,
@@ -55,9 +59,11 @@ def main(argv):
         ]
         outs = model.generate_batch(waves, seed=FLAGS.seed)
         os.makedirs(FLAGS.out_dir, exist_ok=True)
+        fps = sr_model / model.audio.hop_length
         for n, poses in zip(names, outs):
             stem = os.path.splitext(n)[0]
-            np.save(os.path.join(FLAGS.out_dir, stem + ".npy"), poses)
+            save_poses(os.path.join(FLAGS.out_dir, stem + "." + FLAGS.pose_format),
+                       poses, fps=fps)
         print(f"decoded {len(outs)} songs -> {FLAGS.out_dir}")
         return
 
@@ -65,7 +71,7 @@ def main(argv):
         raise app.UsageError("pass --wav or --wav_dir")
     wave, _sr = load_wav(FLAGS.wav, target_sr=sr_model)
     poses = model.generate(wave, seed=FLAGS.seed)
-    np.save(FLAGS.out, poses)
+    save_poses(FLAGS.out, poses, fps=sr_model / model.audio.hop_length)
     print(f"{FLAGS.wav} -> {FLAGS.out} poses {poses.shape}")
 
     if FLAGS.video:

@@ -4,9 +4,10 @@ from .decode import decode_poses, jit_decoder, streaming_decode_step
 from .api import Music2DanceModel
 from .serving import BatchingEngine, InferenceServer, ServingConfig
 from .export import ExportedDecoder, export_decoder
+from .poses_io import load_poses, save_poses
 
 __all__ = [
     "decode_poses", "jit_decoder", "streaming_decode_step", "Music2DanceModel",
     "BatchingEngine", "InferenceServer", "ServingConfig",
-    "ExportedDecoder", "export_decoder",
+    "ExportedDecoder", "export_decoder", "load_poses", "save_poses",
 ]

@@ -1,0 +1,45 @@
+"""Pose export/import round trips (.npy and self-describing .json)."""
+
+import numpy as np
+import pytest
+
+from music2dance_tpu.infer import load_poses, save_poses
+
+
+def test_npy_roundtrip(tmp_path):
+    poses = np.random.default_rng(0).standard_normal((7, 23, 3)).astype(np.float32)
+    p = str(tmp_path / "p.npy")
+    save_poses(p, poses)
+    np.testing.assert_array_equal(load_poses(p), poses)
+
+
+def test_json_roundtrip_with_metadata(tmp_path):
+    import json
+
+    poses = np.random.default_rng(1).standard_normal((5, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "p.json")
+    save_poses(p, poses, fps=30.0)
+    doc = json.load(open(p))
+    assert doc["format"] == "music2dance_tpu/poses-v1"
+    assert (doc["frames"], doc["n_joints"], doc["joint_dim"]) == (5, 4, 3)
+    assert doc["fps"] == 30.0
+    got = load_poses(p)
+    np.testing.assert_allclose(got, poses, rtol=0, atol=1e-6)
+
+
+def test_json_header_mismatch_rejected(tmp_path):
+    import json
+
+    poses = np.zeros((3, 2, 3), np.float32)
+    p = str(tmp_path / "p.json")
+    save_poses(p, poses)
+    doc = json.load(open(p))
+    doc["frames"] = 99
+    json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="header says"):
+        load_poses(p)
+
+
+def test_bad_rank_rejected(tmp_path):
+    with pytest.raises(ValueError, match="T, J, D"):
+        save_poses(str(tmp_path / "x.npy"), np.zeros((4, 3), np.float32))
