@@ -14,7 +14,7 @@ from absl import app, flags
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
-flags.DEFINE_string("wav", None, "input song (wav/flac/aiff/mp3/ogg)")
+flags.DEFINE_string("wav", None, "input song (wav/flac/aiff/mp3/ogg/m4a)")
 flags.DEFINE_string("wav_dir", None, "directory of songs for batched decode")
 flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D] "
                     "(.npy, or .json with fps/layout metadata)")

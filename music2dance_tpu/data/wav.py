@@ -6,7 +6,8 @@ from the librosa/audioread wheels. ``ensure_native()`` builds it with make
 on first use; if no toolchain is available, a pure-numpy RIFF parser with
 identical semantics (PCM8/16/24/32 + float32, mono mixdown) takes over —
 the two are cross-checked in tests/test_wav.py. load_wav() also routes
-FLAC/AIFF (from-scratch decoders) and MP3/Ogg-Vorbis (system codecs).
+FLAC/AIFF (from-scratch decoders), MP3/Ogg-Vorbis (system codecs) and
+M4A/MP4 (system libav shim).
 """
 
 from __future__ import annotations
@@ -183,11 +184,12 @@ def _sniff_container(head: bytes) -> str:
 #: every container load_wav decodes (sniffed by magic bytes, not extension)
 SUPPORTED_EXTENSIONS = (
     ".wav", ".flac", ".aiff", ".aif", ".aifc", ".mp3", ".ogg", ".oga",
+    ".m4a", ".mp4",
 )
 
 
 def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, int]:
-    """Decode a WAV/FLAC/AIFF/MP3/Ogg-Vorbis file to (mono f32, rate).
+    """Decode a WAV/FLAC/AIFF/MP3/Ogg-Vorbis/M4A file to (mono f32, rate).
 
     ``target_sr``: resample to this rate when the file's native rate
     differs (librosa.load(path, sr=...) semantics — SURVEY.md §3.1); the
@@ -195,8 +197,9 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
 
     WAV, FLAC and AIFF/AIFC decode on this package's from-scratch
     decoders; MP3 and Ogg Vorbis bind the system codecs (data/mp3.py,
-    data/oggvorbis.py — the reference's own librosa→audioread strategy).
-    Anything else fails loudly with the detected format named.
+    data/oggvorbis.py) and M4A/MP4 the system libav (data/m4a.py +
+    native/m2d_avdec.cc) — the reference's own librosa→audioread
+    strategy. Anything else fails loudly with the detected format named.
     """
     with open(path, "rb") as f:
         head = f.read(12)
@@ -229,6 +232,16 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
                 f"`ffmpeg -i {os.path.basename(path)} out.wav`."
             )
         y, sr = load_ogg(path)
+    elif kind == "m4a":
+        from .m4a import avdec_available, load_m4a
+
+        if not avdec_available():
+            raise ValueError(
+                f"{path!r} is an M4A/MP4 file but the system libav decode "
+                "shim is unavailable; convert it first, e.g. "
+                f"`ffmpeg -i {os.path.basename(path)} out.wav`."
+            )
+        y, sr = load_m4a(path)
     elif kind != "wav":
         what = (
             f"a {kind.upper()} file" if kind != "unknown"
@@ -236,8 +249,8 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> tuple[np.ndarray, in
         )
         raise ValueError(
             f"{path!r} is {what}: supported formats are WAV (PCM "
-            "8/16/24/32-bit, float32, EXTENSIBLE), FLAC, AIFF/AIFC, MP3 and "
-            "Ogg Vorbis. Convert it first, e.g. "
+            "8/16/24/32-bit, float32, EXTENSIBLE), FLAC, AIFF/AIFC, MP3, "
+            "Ogg Vorbis and M4A. Convert it first, e.g. "
             f"`ffmpeg -i {os.path.basename(path)} out.wav`."
         )
     elif ensure_native() is not None:

@@ -26,7 +26,7 @@ plumbing:
    compiled exactly once and warmable at startup (``warmup()``).
 
 The HTTP layer is stdlib-only (ThreadingHTTPServer): POST /generate with
-either an audio FILE body (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+either an audio FILE body (WAV/FLAC/AIFF/MP3/Ogg/M4A — sniffed by magic
 bytes, decoded + resampled through the same load_wav path as generate.py)
 or raw little-endian samples (int16 or float32) at the model rate,
 returning the pose sequence as an .npy blob; GET /healthz returns model +
@@ -277,7 +277,7 @@ class InferenceServer:
     """Stdlib HTTP server in front of a BatchingEngine.
 
     POST /generate?dtype={int16|float32}&seed=N[&format={auto|raw|file}]
-        body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+        body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg/M4A — sniffed by magic
         bytes, decoded and resampled to the model rate through the same
         path as generate.py), or raw little-endian samples already at
         the model's sample rate. ``format=auto`` (default) sniffs;

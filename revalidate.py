@@ -240,9 +240,9 @@ def check_torch_ckpt(ref: str):
 
 
 def check_codec_decode(ref: str):
-    """MP3/Ogg decode parity vs librosa.load (which rides soundfile/
+    """MP3/Ogg/M4A decode parity vs librosa.load (which rides soundfile/
     audioread — a fully independent decode stack from the mpg123/
-    libvorbisfile bindings under test)."""
+    libvorbisfile/libav bindings under test)."""
     try:
         import librosa  # noqa: F401
     except ImportError:
@@ -255,6 +255,8 @@ def check_codec_decode(ref: str):
                                     "tests"))
     from codec_encoders import write_mp3, write_ogg
 
+    from music2dance_tpu.data.m4a import (avdec_available,
+                                          encode_m4a_for_tests, load_m4a)
     from music2dance_tpu.data.mp3 import load_mp3, mp3_available
     from music2dance_tpu.data.oggvorbis import load_ogg, vorbis_available
 
@@ -267,6 +269,7 @@ def check_codec_decode(ref: str):
         for name, avail, writer, loader in (
             ("mp3", mp3_available(), write_mp3, load_mp3),
             ("ogg", vorbis_available(), write_ogg, load_ogg),
+            ("m4a", avdec_available(), encode_m4a_for_tests, load_m4a),
         ):
             if not avail:
                 continue

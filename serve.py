@@ -5,7 +5,7 @@
 
 Request contract (music2dance_tpu/infer/serving.py):
   POST /generate?dtype={int16|float32}&seed=N[&format={auto|raw|file}]
-      body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg — sniffed by magic
+      body: an audio FILE (WAV/FLAC/AIFF/MP3/Ogg/M4A — sniffed by magic
       bytes, decoded + resampled server-side; e.g.
       `curl --data-binary @song.mp3 :8080/generate > poses.npy`), or
       raw little-endian mono samples AT THE MODEL SAMPLE RATE

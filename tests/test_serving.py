@@ -304,6 +304,25 @@ def test_http_server_audio_file_bodies(model, tmp_path):
             # reduction-order noise between differently-shaped programs
             np.testing.assert_allclose(poses, want_mp3, rtol=0, atol=5e-5)
 
+        from music2dance_tpu.data.m4a import avdec_available
+
+        if avdec_available():
+            # M4A body (ftyp sniff -> libav shim server-side)
+            from music2dance_tpu.data.m4a import encode_m4a_for_tests
+
+            m4a_path = str(tmp_path / "req.m4a")
+            encode_m4a_for_tests(m4a_path, w, AUDIO.sample_rate)
+            decoded_m4a, _ = load_wav(m4a_path, target_sr=AUDIO.sample_rate)
+            want_m4a = model.generate(decoded_m4a, seed=7)
+            req = urllib.request.Request(
+                url + "?seed=7", data=open(m4a_path, "rb").read(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                assert resp.status == 200
+                poses = np.load(io.BytesIO(resp.read()))
+            np.testing.assert_allclose(poses, want_m4a, rtol=0, atol=5e-5)
+
         # format=raw forces raw interpretation even for container bytes
         riff_like = (b"RIFF" + b"\x00" * 8)[:12]
         raw = riff_like + _wave(3, 0.25).astype("<f4").tobytes()[:-12]
