@@ -118,7 +118,9 @@ class NpzClipSource(grain.sources.RandomAccessDataSource):
 
 
 class WavPoseSource(grain.sources.RandomAccessDataSource):
-    """Paired song.wav / song.npy files (poses at the feature frame rate).
+    """Paired song.wav / song.{npy,json} files (poses at the feature
+    frame rate; .json is the self-describing poses-v1 layout from
+    infer/poses_io.py — SURVEY.md §2 C2/C7 name both formats).
 
     ``target_sr``: resample every song to this rate on load (librosa.load
     semantics — the reference corpus may mix 44.1 kHz and 22.05 kHz files).
@@ -134,24 +136,32 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
         self._pairs = []
         for w in wavs:
             stem = os.path.splitext(w)[0]
-            p = os.path.join(root, stem + ".npy")
-            if os.path.exists(p):
-                self._pairs.append((os.path.join(root, w), p))
+            for ext in (".npy", ".json"):
+                p = os.path.join(root, stem + ext)
+                if os.path.exists(p):
+                    self._pairs.append((os.path.join(root, w), p))
+                    break
             else:
-                warnings.warn(f"{w}: no paired pose file {p}, skipping")
+                warnings.warn(f"{w}: no paired pose file {stem}.npy/.json, "
+                              "skipping")
         if not self._pairs:
             raise FileNotFoundError(
-                f"no paired audio ({'/'.join(SUPPORTED_EXTENSIONS)}) + .npy "
-                f"clips under {root}"
+                f"no paired audio ({'/'.join(SUPPORTED_EXTENSIONS)}) + "
+                f".npy/.json clips under {root}"
             )
 
     def __len__(self) -> int:
         return len(self._pairs)
 
     def __getitem__(self, idx: int) -> dict:
+        from ..infer.poses_io import load_poses
+
         wav_path, pose_path = self._pairs[idx]
         wave, _sr = self._load_wav(wav_path, target_sr=self._target_sr)
-        pose = np.load(pose_path).astype(np.float32)
+        if pose_path.endswith(".json"):
+            pose = load_poses(pose_path)
+        else:
+            pose = np.load(pose_path).astype(np.float32)
         return {"wave": wave, "pose": pose.reshape(pose.shape[0], -1)}
 
 

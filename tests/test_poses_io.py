@@ -43,3 +43,21 @@ def test_json_header_mismatch_rejected(tmp_path):
 def test_bad_rank_rejected(tmp_path):
     with pytest.raises(ValueError, match="T, J, D"):
         save_poses(str(tmp_path / "x.npy"), np.zeros((4, 3), np.float32))
+
+
+def test_pipeline_pairs_json_poses(tmp_path):
+    """The data layer parses .json pose files too (SURVEY §2 C2: pose
+    keypoint parsing; .npy takes precedence when both exist)."""
+    from music2dance_tpu.data.pipeline import WavPoseSource
+    from music2dance_tpu.data.wav import save_wav
+
+    sr = 22050
+    wave = np.zeros(sr // 2, np.float32)
+    save_wav(str(tmp_path / "song.wav"), wave, sr)
+    frames = len(wave) // 735 + 1
+    poses = np.arange(frames * 23 * 3, dtype=np.float32).reshape(frames, 23, 3)
+    save_poses(str(tmp_path / "song.json"), poses, fps=30.0)
+    src = WavPoseSource(str(tmp_path), target_sr=sr)
+    assert len(src) == 1
+    item = src[0]
+    np.testing.assert_array_equal(item["pose"], poses.reshape(frames, -1))
