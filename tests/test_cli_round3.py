@@ -143,3 +143,21 @@ def test_serve_cli_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_render_cli_from_saved_poses(tmp_path):
+    """generate -> save .json -> render.py later, no checkpoint needed
+    (SURVEY §2 C7/C11 decoupled export/render workflow)."""
+    from music2dance_tpu.infer.poses_io import save_poses
+
+    rng = np.random.default_rng(2)
+    poses = rng.standard_normal((12, 23, 3)).astype(np.float32)
+    p = tmp_path / "p.json"
+    save_poses(str(p), poses, fps=30.0)
+    gif = tmp_path / "d.gif"
+    traj = tmp_path / "t.png"
+    stdout = _run_cli(tmp_path, "render.py", [
+        "--poses", str(p), "--out", str(gif), "--trajectories", str(traj),
+    ])
+    assert "12 frames" in stdout and "30 fps" in stdout
+    assert gif.stat().st_size > 0 and traj.stat().st_size > 0
