@@ -91,6 +91,7 @@ def train_from_store(
     state: Optional[TrainState] = None,
     seed: int = 0,
     evaluator=None,
+    tensorboard: bool = False,
 ) -> TrainState:
     """Train from a device-resident DeviceFeatureStore (zero input cost).
 
@@ -131,7 +132,7 @@ def train_from_store(
 
     chunk_len = min(tc.log_every, total_steps)
     chunk = make_chunk(chunk_len)
-    logger = MetricsLogger(log_dir)
+    logger = MetricsLogger(log_dir, tensorboard=tensorboard)
     writer = (
         CheckpointWriter(
             ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep,
@@ -241,6 +242,7 @@ def train(
     state: Optional[TrainState] = None,
     seed: int = 0,
     evaluator=None,
+    tensorboard: bool = False,
 ) -> TrainState:
     """Run ``total_steps`` alternating updates. Returns the final state.
 
@@ -273,7 +275,7 @@ def train(
     else:
         step = jax.jit(make_train_step(gan, tc), donate_argnums=(0,))
 
-    logger = MetricsLogger(log_dir)
+    logger = MetricsLogger(log_dir, tensorboard=tensorboard)
     timer = StepTimer(window=max(1, tc.log_every))
     writer = (
         CheckpointWriter(

@@ -1,5 +1,6 @@
 """Structured metrics logging (JSONL + stdout), replacing the reference's
-loss prints / TensorBoard scalars (SURVEY.md §5 observability row)."""
+loss prints / TensorBoard scalars (SURVEY.md §5 observability row; §2 C10
+names TensorBoard — available as an opt-in sink alongside the JSONL)."""
 
 from __future__ import annotations
 
@@ -7,6 +8,7 @@ import json
 import os
 import sys
 import time
+import warnings
 from typing import Optional, TextIO
 
 
@@ -16,14 +18,35 @@ class MetricsLogger:
     The emitted counters match the BASELINE metric definitions
     (steps/sec for training, frames/sec for inference) so benchmark and
     training telemetry are directly comparable.
+
+    ``tensorboard=True`` additionally writes every scalar to a TensorBoard
+    event file under ``log_dir/tb`` (tag ``{prefix}/{key}``). The JSONL
+    stays the source of truth; if no TensorBoard writer is importable the
+    sink is skipped with a one-time warning.
     """
 
-    def __init__(self, log_dir: Optional[str] = None, stream: TextIO = sys.stdout):
+    def __init__(self, log_dir: Optional[str] = None, stream: TextIO = sys.stdout,
+                 tensorboard: bool = False):
         self._stream = stream
         self._file = None
+        self._tb = None
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        if tensorboard:
+            if log_dir is None:
+                raise ValueError("tensorboard=True requires a log_dir")
+            try:
+                # torch's writer: the only TB writer guaranteed in this
+                # image; imported lazily (torch is a heavy import)
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except ImportError:
+                warnings.warn(
+                    "tensorboard requested but no writer importable "
+                    "(torch.utils.tensorboard) — JSONL logging only"
+                )
         self._last_step: Optional[int] = None
         self._last_time: Optional[float] = None
 
@@ -42,6 +65,10 @@ class MetricsLogger:
         if self._file is not None:
             self._file.write(line + "\n")
             self._file.flush()
+        if self._tb is not None:
+            for k, v in record.items():
+                if k not in ("step", "time", "prefix"):
+                    self._tb.add_scalar(f"{prefix}/{k}", v, int(step))
         if self._stream is not None:
             shown = {k: round(v, 5) for k, v in record.items()
                      if k not in ("time", "prefix")}
@@ -52,6 +79,9 @@ class MetricsLogger:
         if self._file is not None:
             self._file.close()
             self._file = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     def __enter__(self):
         return self

@@ -21,6 +21,37 @@ def test_metrics_logger_jsonl(tmp_path):
     assert "steps_per_sec" in lines[1]
 
 
+def test_metrics_logger_tensorboard_sink(tmp_path):
+    """Opt-in TensorBoard scalars next to the JSONL (SURVEY §2 C10)."""
+    import pytest
+
+    pytest.importorskip("torch.utils.tensorboard")
+    with MetricsLogger(str(tmp_path), stream=None, tensorboard=True) as log:
+        log.log(1, {"d_loss": 1.5})
+        log.log(2, {"d_loss": 1.2}, prefix="eval")
+    tb_dir = tmp_path / "tb"
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, "no event file written"
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+
+    acc = EventAccumulator(str(tb_dir))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert "train/d_loss" in tags and "eval/d_loss" in tags
+    vals = acc.Scalars("train/d_loss")
+    assert vals[0].step == 1 and abs(vals[0].value - 1.5) < 1e-6
+    # JSONL remains the source of truth alongside the TB sink
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_metrics_logger_tensorboard_requires_dir():
+    import pytest
+
+    with pytest.raises(ValueError, match="log_dir"):
+        MetricsLogger(None, stream=None, tensorboard=True)
+
+
 def test_step_timer():
     import jax.numpy as jnp
 

@@ -29,6 +29,8 @@ flags.DEFINE_enum("corpus", "beat", ["beat", "noise"],
                   "benchmarking)")
 flags.DEFINE_string("ckpt_dir", None, "orbax checkpoint directory")
 flags.DEFINE_string("metrics_dir", None, "metrics JSONL directory")
+flags.DEFINE_bool("tensorboard", False,
+                  "also write TensorBoard scalars under metrics_dir/tb")
 flags.DEFINE_string("restore", None, "checkpoint to resume from")
 flags.DEFINE_string("restore_step", "latest",
                     "which step of --restore to load: a number, 'latest', "
@@ -203,6 +205,7 @@ def main(argv):
                 p.gan, p.train, p.audio, store, FLAGS.steps,
                 ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
                 state=state, seed=FLAGS.seed, evaluator=evaluator,
+                tensorboard=FLAGS.tensorboard,
             )
     else:
         if FLAGS.input_mode == "feature_cache":
@@ -230,6 +233,7 @@ def main(argv):
                 p.gan, p.train, p.audio, it, FLAGS.steps,
                 ckpt_dir=FLAGS.ckpt_dir, log_dir=FLAGS.metrics_dir, mesh=mesh,
                 state=state, seed=FLAGS.seed, evaluator=evaluator,
+                tensorboard=FLAGS.tensorboard,
             )
 
     if FLAGS.trace_dir:
