@@ -145,6 +145,45 @@ def test_serve_cli_end_to_end(tmp_path):
         proc.wait(timeout=30)
 
 
+def test_convert_cli_round_trip(tmp_path):
+    """convert.py: orbax -> torch .pt -> orbax preserves weights and Adam
+    moments exactly (SURVEY §2 C8 interop as a user-facing command)."""
+    gan, audio, tc, state, ckpt = _make_ckpt(tmp_path)
+
+    pt = tmp_path / "model.pt"
+    stdout = _run_cli(tmp_path, "convert.py",
+                      ["--ckpt", ckpt, "--out", str(pt)])
+    assert "wrote" in stdout and pt.stat().st_size > 0
+
+    imported = tmp_path / "imported"
+    stdout = _run_cli(tmp_path, "convert.py", [
+        "--torch", str(pt), "--preset", "tiny", "--out", str(imported)])
+    assert "opt=yes" in stdout
+
+    from music2dance_tpu.ckpt.orbax_io import restore_bundle
+
+    _, _, back = restore_bundle(str(imported))
+    for orig, got in ((state.g_params, back.g_params),
+                      (state.d_params, back.d_params),
+                      (state.opt_g, back.opt_g),
+                      (state.opt_d, back.opt_d)):
+        jax.tree.map(np.testing.assert_array_equal, orig, got)
+
+
+def test_convert_cli_rejects_ambiguous_direction(tmp_path):
+    wrapper = tmp_path / "wrap.py"
+    wrapper.write_text(_WRAPPER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, str(wrapper), os.path.join(REPO, "convert.py"),
+         "--out", str(tmp_path / "x.pt")],
+        capture_output=True, text=True, timeout=120, cwd=REPO, env=env,
+    )
+    assert out.returncode != 0
+    assert "exactly one of" in out.stderr
+
+
 def test_render_cli_from_saved_poses(tmp_path):
     """generate -> save .json -> render.py later, no checkpoint needed
     (SURVEY §2 C7/C11 decoupled export/render workflow)."""
