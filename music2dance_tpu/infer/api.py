@@ -52,6 +52,27 @@ class Music2DanceModel:
         )
         return np.asarray(poses[0])
 
+    def stream(self, seed: Optional[int] = None,
+               stats: "object | str" = "running") -> "StreamingGenerator":
+        """Online decode session: feed waveform chunks as they arrive,
+        receive pose chunks back (``infer/streaming.py``).
+
+        ``stats``: ``"running"`` (causal, default), ``"none"``, or a
+        ``FrontendStats`` — with stats frozen from the same song the
+        streamed poses equal ``generate()`` exactly; the latent ``z`` is
+        drawn from ``seed`` the same way, so seed parity holds too.
+        """
+        from .streaming import (StreamingFeatureExtractor,
+                                StreamingGenerator, StreamingSession)
+
+        key = self._key if seed is None else jax.random.key(seed)
+        z = jax.random.normal(key, (1, self.gan.generator.noise_dim),
+                              jnp.float32)
+        return StreamingGenerator(
+            StreamingFeatureExtractor(self.audio, stats=stats),
+            StreamingSession(self.g_params, self.gan.generator, z),
+        )
+
     def generate_batch(
         self,
         waveforms: Sequence[np.ndarray],
