@@ -97,6 +97,10 @@ class ServingConfig:
     # larger than raw, so 8x headroom over a 22.05 kHz song is generous
     # while still bounding a hostile Content-Length.
     max_body_bytes: int = 64 << 20
+    # Streaming sessions (POST /stream/*): cap on concurrently open
+    # sessions, and how long an idle session lives before lazy eviction.
+    max_streams: int = 64
+    stream_ttl_s: float = 120.0
 
     def batch_bucket(self, n: int) -> int:
         """Smallest power of two >= n, capped at max_batch."""
@@ -273,6 +277,91 @@ class BatchingEngine:
             req.future.set_result(poses[i, : lengths[i]])
 
 
+class _StreamRegistry:
+    """Server-side online-decode sessions behind POST /stream/*.
+
+    Each session wraps a ``Music2DanceModel.stream()`` generator (running
+    or none stats — frozen whole-clip stats need the whole clip, which is
+    what /generate is for). Sessions are keyed by an unguessable id,
+    bounded in count (``max_streams``) and lazily evicted after
+    ``stream_ttl_s`` of inactivity — a client that vanishes mid-stream
+    can't leak memory. Per-session locks serialize concurrent feeds;
+    session state (recurrent carry + halo buffers) lives entirely here,
+    so the protocol itself is plain stateless HTTP posts.
+    """
+
+    def __init__(self, model: Music2DanceModel, cfg: ServingConfig):
+        self._model = model
+        self._cfg = cfg
+        self._lock = threading.Lock()
+        self._sessions: dict = {}
+        self._seed_counter = 0
+        self.stats = {"opened": 0, "expired": 0, "stream_frames": 0}
+
+    def _evict_locked(self, now: float):
+        dead = [k for k, s in self._sessions.items()
+                if now - s["last_used"] > self._cfg.stream_ttl_s]
+        for k in dead:
+            del self._sessions[k]
+        self.stats["expired"] += len(dead)
+
+    def open(self, seed: Optional[int], stats_mode: str) -> str:
+        import time
+        import uuid
+
+        with self._lock:
+            now = time.monotonic()
+            self._evict_locked(now)
+            if len(self._sessions) >= self._cfg.max_streams:
+                raise RuntimeError(
+                    f"max_streams={self._cfg.max_streams} sessions open")
+            if seed is None:
+                seed = 1_000_000_000 + self._seed_counter
+                self._seed_counter += 1
+            sid = uuid.uuid4().hex
+            self._sessions[sid] = {
+                "gen": self._model.stream(seed=int(seed), stats=stats_mode),
+                "lock": threading.Lock(),
+                "last_used": now,
+            }
+            self.stats["opened"] += 1
+        return sid
+
+    def _get(self, sid: str, pop: bool = False):
+        import time
+
+        with self._lock:
+            now = time.monotonic()
+            self._evict_locked(now)
+            sess = self._sessions.get(sid)
+            if sess is None:
+                raise KeyError("unknown or expired session")
+            sess["last_used"] = now
+            if pop:
+                del self._sessions[sid]
+        return sess
+
+    def feed(self, sid: str, wave: np.ndarray) -> np.ndarray:
+        sess = self._get(sid)
+        with sess["lock"]:
+            poses = sess["gen"].feed(wave)
+        with self._lock:
+            self.stats["stream_frames"] += len(poses)
+        return poses
+
+    def close(self, sid: str) -> np.ndarray:
+        sess = self._get(sid, pop=True)
+        with sess["lock"]:
+            poses = sess["gen"].flush()
+        with self._lock:
+            self.stats["stream_frames"] += len(poses)
+        return poses
+
+    def open_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+
 class InferenceServer:
     """Stdlib HTTP server in front of a BatchingEngine.
 
@@ -285,8 +374,18 @@ class InferenceServer:
         PCM that happens to start with container magic).
         200: .npy blob, float32 [T, n_joints, joint_dim]
         400/413: malformed input / song longer than max_seconds
+    POST /stream/open?seed=N&stats={running|none}
+        opens an online-decode session (infer/streaming.py semantics)
+        200: JSON {session, sample_rate, lag_frames, lag_samples}
+        429: max_streams sessions already open
+    POST /stream/feed?session=ID&dtype={int16|float32}
+        body: the next raw samples at the model rate (any chunk size)
+        200: .npy blob of the poses that became computable (may be [0,...])
+        404: unknown or expired (stream_ttl_s) session
+    POST /stream/close?session=ID
+        flushes + ends the session; 200: .npy blob of the trailing poses
     GET /healthz
-        200: JSON {status, sample_rate, joints, batching stats}
+        200: JSON {status, sample_rate, joints, batching + stream stats}
     """
 
     def __init__(self, model: Music2DanceModel,
@@ -294,8 +393,15 @@ class InferenceServer:
                  host: str = "127.0.0.1", port: int = 0):
         self.engine = BatchingEngine(model, cfg)
         engine = self.engine
+        self.streams = _StreamRegistry(model, cfg)
+        streams = self.streams
         layout = model.gan.generator.layout
         sr = model.audio.sample_rate
+        from .streaming import encoder_halo
+
+        stream_lag_frames = encoder_halo(model.gan.generator)[1]
+        stream_lag_samples = (model.audio.n_fft // 2
+                              if model.audio.center else 0)
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet by default
@@ -314,6 +420,9 @@ class InferenceServer:
                     return
                 with engine._lock:
                     stats = json.loads(json.dumps(engine.stats))
+                with streams._lock:
+                    stats.update(streams.stats)
+                stats["streams_open"] = streams.open_count()
                 info = {
                     "status": "ok",
                     "sample_rate": sr,
@@ -323,12 +432,95 @@ class InferenceServer:
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
 
+            def _read_raw_body(self, q) -> "np.ndarray | None":
+                """Read + validate a raw-sample POST body; sends the error
+                response and returns None on failure."""
+                dtype = q.get("dtype", ["float32"])[0]
+                if dtype not in ("int16", "float32"):
+                    self._send(400, b'{"error": "dtype must be int16|float32"}',
+                               "application/json")
+                    return None
+                n = int(self.headers.get("Content-Length", 0))
+                if n > cfg.max_body_bytes:
+                    self._send(413, json.dumps({
+                        "error": f"body of {n} bytes exceeds "
+                                 f"max_body_bytes={cfg.max_body_bytes}"
+                    }).encode(), "application/json")
+                    return None
+                body = self.rfile.read(n)
+                np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
+                if n % np_dtype.itemsize:
+                    self._send(400, b'{"error": "body length not a '
+                               b'multiple of the sample size"}',
+                               "application/json")
+                    return None
+                wave = np.frombuffer(body, np_dtype)
+                if np_dtype == np.dtype("<i2"):
+                    wave = wave.astype(np.float32) / 32768.0
+                return wave
+
+            def _send_poses(self, poses):
+                buf = io.BytesIO()
+                np.save(buf, np.asarray(poses, np.float32))
+                self._send(200, buf.getvalue(), "application/octet-stream")
+
+            def _post_stream(self, parsed, q):
+                if parsed.path == "/stream/open":
+                    seed = q.get("seed", [None])[0]
+                    stats_mode = q.get("stats", ["running"])[0]
+                    if stats_mode not in ("running", "none"):
+                        self._send(400, b'{"error": "stats must be '
+                                   b'running|none"}', "application/json")
+                        return
+                    try:
+                        sid = streams.open(
+                            None if seed is None else int(seed), stats_mode)
+                    except RuntimeError as e:
+                        self._send(429, json.dumps({"error": str(e)}).encode(),
+                                   "application/json")
+                        return
+                    self._send(200, json.dumps({
+                        "session": sid,
+                        "sample_rate": sr,
+                        "lag_frames": stream_lag_frames,
+                        "lag_samples": stream_lag_samples,
+                    }).encode(), "application/json")
+                    return
+                sid = q.get("session", [None])[0]
+                if sid is None:
+                    self._send(400, b'{"error": "missing session param"}',
+                               "application/json")
+                    return
+                try:
+                    if parsed.path == "/stream/feed":
+                        wave = self._read_raw_body(q)
+                        if wave is None:
+                            return
+                        poses = streams.feed(sid, wave)
+                    else:  # /stream/close
+                        poses = streams.close(sid)
+                except KeyError as e:
+                    self._send(404, json.dumps(
+                        {"error": str(e).strip("'")}).encode(),
+                        "application/json")
+                    return
+                except Exception as e:  # runtime failure must answer, not drop
+                    self._send(500, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode(),
+                        "application/json")
+                    return
+                self._send_poses(poses)
+
             def do_POST(self):
                 parsed = urlparse(self.path)
+                q = parse_qs(parsed.query)
+                if parsed.path in ("/stream/open", "/stream/feed",
+                                   "/stream/close"):
+                    self._post_stream(parsed, q)
+                    return
                 if parsed.path != "/generate":
                     self._send(404, b'{"error": "not found"}', "application/json")
                     return
-                q = parse_qs(parsed.query)
                 dtype = q.get("dtype", ["float32"])[0]
                 if dtype not in ("int16", "float32"):
                     self._send(400, b'{"error": "dtype must be int16|float32"}',

@@ -11,7 +11,13 @@ Request contract (music2dance_tpu/infer/serving.py):
       raw little-endian mono samples AT THE MODEL SAMPLE RATE
       (format=raw; PCM16 bodies keep the half-width host->device
       path); response: .npy poses.
-  GET  /healthz   model geometry + batching stats.
+  POST /stream/open?seed=N&stats={running|none}   -> JSON {session, ...}
+  POST /stream/feed?session=ID&dtype=...          raw chunk -> .npy poses
+  POST /stream/close?session=ID                   flush -> .npy poses
+      online decode sessions (infer/streaming.py): feed audio as it
+      arrives, poses come back with ~lag_frames latency; idle sessions
+      expire after --stream_ttl seconds.
+  GET  /healthz   model geometry + batching/stream stats.
 
 The reference stops at a one-shot generate CLI; this is the concurrent
 TPU serving surface (dynamic batching onto a static shape grid).
@@ -36,6 +42,10 @@ flags.DEFINE_float("max_seconds", 64.0, "longest accepted song")
 flags.DEFINE_bool("warmup", False,
                   "precompile every (batch, length) grid program before "
                   "accepting traffic (first requests skip the compiler)")
+flags.DEFINE_integer("max_streams", 64,
+                     "cap on concurrently open /stream sessions")
+flags.DEFINE_float("stream_ttl", 120.0,
+                   "idle seconds before a /stream session is evicted")
 flags.mark_flag_as_required("ckpt")
 
 
@@ -54,6 +64,8 @@ def main(argv):
         max_wait_ms=FLAGS.max_wait_ms,
         bucket_seconds=FLAGS.bucket_seconds,
         max_seconds=FLAGS.max_seconds,
+        max_streams=FLAGS.max_streams,
+        stream_ttl_s=FLAGS.stream_ttl,
     )
     server = InferenceServer(model, cfg, host=FLAGS.host, port=FLAGS.port)
     if FLAGS.warmup:

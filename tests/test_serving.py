@@ -392,3 +392,99 @@ def test_http_server_body_cap_and_malformed_containers(model):
             assert resp.status == 200
     finally:
         server.close()
+
+
+def _post(host, port, path, data=b"", timeout=60):
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", data=data, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_http_streaming_session_end_to_end(model):
+    """/stream/open -> chunked /stream/feed -> /stream/close covers the
+    whole song; 'none' stats make it comparable to an offline pass with
+    normalization/top_db off."""
+    server = InferenceServer(model, SCFG).start()
+    try:
+        host, port = server.address
+        with _post(host, port, "/stream/open?seed=3&stats=none") as resp:
+            meta = __import__("json").loads(resp.read())
+        sid = meta["session"]
+        assert meta["sample_rate"] == AUDIO.sample_rate
+        assert meta["lag_frames"] >= 0 and meta["lag_samples"] == AUDIO.n_fft // 2
+
+        w = _wave(21, 0.5)
+        chunks = []
+        step = 800
+        for i in range(0, len(w), step):
+            with _post(host, port, f"/stream/feed?session={sid}&dtype=float32",
+                       w[i:i + step].astype("<f4").tobytes()) as resp:
+                assert resp.status == 200
+                chunks.append(np.load(io.BytesIO(resp.read())))
+        with _post(host, port, f"/stream/close?session={sid}") as resp:
+            chunks.append(np.load(io.BytesIO(resp.read())))
+        poses = np.concatenate([c for c in chunks if len(c)], axis=0)
+        t = 1 + len(w) // AUDIO.hop_length
+        assert poses.shape == (t, LAYOUT.n_joints, LAYOUT.joint_dim)
+        assert np.isfinite(poses).all()
+
+        # offline equivalent (stats policy 'none')
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from music2dance_tpu.audio import extract_features
+        from music2dance_tpu.infer.decode import decode_poses
+
+        cfg_none = dc.replace(AUDIO, normalize=False, top_db=None)
+        feats = extract_features(jnp.asarray(w), cfg_none)
+        want = np.asarray(decode_poses(
+            model.g_params, GAN.generator, feats[None],
+            jax.random.key(3))[0])
+        np.testing.assert_allclose(poses, want, rtol=1e-3, atol=1e-3)
+
+        # closed session is gone
+        try:
+            _post(host, port, f"/stream/feed?session={sid}&dtype=float32",
+                  w[:16].astype("<f4").tobytes())
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/healthz", timeout=10) as resp:
+            info = __import__("json").loads(resp.read())
+        assert info["stats"]["opened"] == 1
+        assert info["stats"]["streams_open"] == 0
+        assert info["stats"]["stream_frames"] == t
+    finally:
+        server.close()
+
+
+def test_http_streaming_session_limits(model):
+    cfg = dataclasses.replace(SCFG, max_streams=1, stream_ttl_s=0.05)
+    server = InferenceServer(model, cfg).start()
+    try:
+        host, port = server.address
+        with _post(host, port, "/stream/open") as resp:
+            assert resp.status == 200
+        # second session over the cap -> 429
+        try:
+            _post(host, port, "/stream/open")
+            assert False, "expected 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        # after the TTL the stale session is evicted and a new one opens
+        import time
+
+        time.sleep(0.1)
+        with _post(host, port, "/stream/open") as resp:
+            assert resp.status == 200
+        # bad stats param -> 400
+        try:
+            _post(host, port, "/stream/open?stats=frozen")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.close()
