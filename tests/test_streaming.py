@@ -64,6 +64,17 @@ def test_session_equals_offline_any_chunking(enc_kernel, chunk):
     np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-5)
 
 
+def test_session_lstm_cell():
+    """The session is cell-generic (carry built by generator_init_carry)."""
+    cfg = _cfg(cell="lstm")
+    params, feats, z, full = _setup(cfg, t=15)
+    sess = StreamingSession(params, cfg, z)
+    streamed = np.concatenate(
+        [sess.feed(feats[:, :6]), sess.feed(feats[:, 6:]), sess.flush()],
+        axis=1)
+    np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-5)
+
+
 def test_session_batch_and_2d_chunks():
     cfg = _cfg()
     params, feats, z, full = _setup(cfg, b=3, t=17)
