@@ -1,0 +1,69 @@
+"""Online-decode latency: per-chunk feed cost of the streaming session.
+
+The offline decode benchmarks (config #5) measure throughput; a real-time
+deployment cares about LATENCY — how long one audio chunk takes from
+feed() to poses, and whether that keeps up with real time. Two numbers
+per chunk size:
+
+- ``ms_per_feed``: wall time of one StreamingSession.feed() at steady
+  state (host-side, because dispatch latency IS the product here — a
+  live stream pays it per chunk; on this tunneled host it is mostly the
+  ~RTT of two jitted calls, on a normal PCIe host it is sub-ms).
+- ``real_time_factor``: chunk duration / feed time (>1 = keeps up).
+
+Prints one JSON line per chunk size. CPU- and TPU-runnable:
+``env JAX_PLATFORMS=cpu python benchmarks/run_streaming.py`` for the host
+path, plain for the tunneled TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.infer.streaming import StreamingSession
+from music2dance_tpu.models import Generator, full_gan
+
+
+def main():
+    audio = AudioConfig()
+    gan = full_gan(feature_dim=audio.n_features)
+    cfg = gan.generator
+    gen = Generator(cfg)
+    feats0 = jax.random.normal(jax.random.key(0), (1, 8, cfg.feature_dim))
+    z = jax.random.normal(jax.random.key(1), (1, cfg.noise_dim))
+    params = gen.init(jax.random.key(2), feats0, z)
+
+    fps = audio.feature_rate
+    rng = np.random.default_rng(0)
+    for chunk_frames in (3, 9, 30):  # 100 ms / 300 ms / 1 s of audio
+        sess = StreamingSession(params, cfg, z)
+        chunk = rng.standard_normal(
+            (1, chunk_frames, cfg.feature_dim)).astype(np.float32)
+        for _ in range(5):  # compile + warm the steady-state program
+            sess.feed(chunk)
+        n = 20
+        t0 = time.perf_counter()
+        frames = 0
+        for _ in range(n):
+            frames += sess.feed(chunk).shape[1]
+        dt = time.perf_counter() - t0
+        assert frames == n * chunk_frames  # steady state: no held-back drift
+        ms = dt / n * 1e3
+        print(json.dumps({
+            "metric": "streaming_feed_latency",
+            "backend": jax.default_backend(),
+            "chunk_frames": chunk_frames,
+            "chunk_ms": round(chunk_frames / fps * 1e3, 1),
+            "ms_per_feed": round(ms, 3),
+            "real_time_factor": round((chunk_frames / fps) / (ms / 1e3), 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
