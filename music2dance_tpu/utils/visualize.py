@@ -53,7 +53,20 @@ def render_pose_video(
         return [scat] + [ln for ln, _, _ in lines]
 
     anim = animation.FuncAnimation(fig, update, frames=t, blit=True)
-    writer = animation.PillowWriter(fps=int(round(fps)))
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".mp4", ".m4v", ".mov", ".avi", ".webm"):
+        # PillowWriter would happily write GIF bytes into a .mp4 file;
+        # video containers need ffmpeg, so fail loudly when it's absent
+        if not animation.FFMpegWriter.isAvailable():
+            plt.close(fig)
+            raise RuntimeError(
+                f"{ext} output needs ffmpeg (not found on PATH); "
+                "use a .gif path or install ffmpeg")
+        writer = animation.FFMpegWriter(fps=int(round(fps)))
+    else:
+        writer = animation.PillowWriter(fps=int(round(fps)))
     anim.save(path, writer=writer)
     plt.close(fig)
 

@@ -94,3 +94,24 @@ def test_profiler_trace(tmp_path):
     # a trace directory with at least one file appears
     found = any(files for _, _, files in os.walk(tmp_path))
     assert found
+
+
+def test_render_video_mp4_requires_ffmpeg(tmp_path):
+    """Video-container paths must not get GIF bytes from PillowWriter;
+    without ffmpeg the call fails loudly instead."""
+    import numpy as np
+    import pytest
+    from matplotlib import animation
+
+    from music2dance_tpu.utils.visualize import render_pose_video
+
+    poses = np.zeros((3, 4, 2), np.float32)
+    if animation.FFMpegWriter.isAvailable():
+        render_pose_video(poses, str(tmp_path / "d.mp4"))
+        assert (tmp_path / "d.mp4").stat().st_size > 0
+    else:
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            render_pose_video(poses, str(tmp_path / "d.mp4"))
+    # gif path unaffected
+    render_pose_video(poses, str(tmp_path / "d.gif"))
+    assert (tmp_path / "d.gif").stat().st_size > 0
