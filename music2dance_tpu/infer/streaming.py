@@ -55,6 +55,16 @@ def encoder_halo(cfg: GeneratorConfig) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=8)
+def _jit_gi(cfg: GeneratorConfig):
+    """Jitted hoisted-projection path (encoder + ih0_static) — eager
+    op-by-op dispatch would dominate per-chunk latency on a device."""
+    from ..ops.fused_generator import compute_gi_static
+
+    return jax.jit(
+        lambda params, window, z: compute_gi_static(params, cfg, window, z))
+
+
+@functools.lru_cache(maxsize=8)
 def _jit_scan_from_gi(cfg: GeneratorConfig):
     """Jitted (step_params, carry, gi [B,T,G*H]) -> (poses, carry): the
     generator's time scan alone, fed precomputed hoisted projections
@@ -135,14 +145,12 @@ class StreamingSession:
         e = emit_end - self._emitted
         if e <= 0:
             return self._empty()
-        from ..ops.fused_generator import compute_gi_static
-
         # encoder window: left-halo context behind the cursor (or the true
         # sequence start, where SAME zero padding is the offline
         # semantics), everything received on the right
         w0 = max(0, self._emitted - self._hl)
         window = self._buf[:, w0 - self._buf_start:]
-        gi = compute_gi_static(self._params, cfg, jnp.asarray(window), self._z)
+        gi = _jit_gi(cfg)(self._params, jnp.asarray(window), self._z)
         off = self._emitted - w0
         poses, self._carry = _jit_scan_from_gi(cfg)(
             self._params["step"], self._carry, gi[:, off:off + e])
