@@ -41,8 +41,8 @@ flags.DEFINE_bool("with_opt", True,
                   "(both directions; ignored when the source has none)")
 flags.DEFINE_bool("use_ema", False,
                   "export the EMA generator weights instead of the raw "
-                  "ones (eval/serving weights; opt_g moments are omitted "
-                  "since they track the raw weights)")
+                  "ones (eval/serving weights; implies no optimizer "
+                  "moments — Adam state tracks the raw weights)")
 flags.mark_flag_as_required("out")
 
 
@@ -53,20 +53,23 @@ def _export_to_torch():
     step = (FLAGS.step if FLAGS.step in ("latest", "best") else int(FLAGS.step))
     _, _, state = restore_bundle(FLAGS.ckpt, step=step)
     g_params = state.g_params
-    opt_g = state.opt_g if FLAGS.with_opt else None
+    # EMA weights never travel with Adam moments (the moments track the
+    # raw weights; an opt_d-only blob would be silently asymmetric)
+    with_opt = FLAGS.with_opt and not FLAGS.use_ema
     if FLAGS.use_ema:
         if state.ema_g_params is None:
             raise SystemExit(
                 "--use_ema: this checkpoint has no EMA weights "
                 "(train with ema_decay > 0)")
-        g_params, opt_g = state.ema_g_params, None
+        g_params = state.ema_g_params
     save_torch_checkpoint(
         FLAGS.out, g_params, state.d_params,
-        opt_g=opt_g, opt_d=state.opt_d if FLAGS.with_opt else None,
+        opt_g=state.opt_g if with_opt else None,
+        opt_d=state.opt_d if with_opt else None,
     )
     print(f"wrote {FLAGS.out} (step={step}, "
           f"weights={'ema' if FLAGS.use_ema else 'raw'}, "
-          f"opt={'yes' if FLAGS.with_opt and not FLAGS.use_ema else 'no'})")
+          f"opt={'yes' if with_opt else 'no'})")
 
 
 def _import_from_torch():
@@ -84,11 +87,16 @@ def _import_from_torch():
         "poses": np.zeros((1, 4, p.gan.generator.pose_dim), np.float32),
     }
     state = init_state(jax.random.key(0), p.gan, p.train, sample)
-    g, d, opt_g, opt_d = load_torch_checkpoint(
-        FLAGS.torch, state.g_params, state.d_params,
-        state.opt_g if FLAGS.with_opt else None,
-        state.opt_d if FLAGS.with_opt else None,
-    )
+    if FLAGS.with_opt:
+        g, d, opt_g, opt_d = load_torch_checkpoint(
+            FLAGS.torch, state.g_params, state.d_params,
+            state.opt_g, state.opt_d,
+        )
+    else:
+        # without optimizer templates the loader returns (g, d) only
+        g, d = load_torch_checkpoint(
+            FLAGS.torch, state.g_params, state.d_params)
+        opt_g = opt_d = None
     state = state.replace(
         g_params=g, d_params=d,
         opt_g=opt_g if opt_g is not None else state.opt_g,

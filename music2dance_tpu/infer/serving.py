@@ -327,7 +327,7 @@ class _StreamRegistry:
             self.stats["opened"] += 1
         return sid
 
-    def _get(self, sid: str, pop: bool = False):
+    def _get(self, sid: str):
         import time
 
         with self._lock:
@@ -337,23 +337,31 @@ class _StreamRegistry:
             if sess is None:
                 raise KeyError("unknown or expired session")
             sess["last_used"] = now
-            if pop:
-                del self._sessions[sid]
         return sess
 
     def feed(self, sid: str, wave: np.ndarray) -> np.ndarray:
         sess = self._get(sid)
         with sess["lock"]:
-            poses = sess["gen"].feed(wave)
+            try:
+                poses = sess["gen"].feed(wave)
+            except RuntimeError as e:
+                if "flushed" in str(e):
+                    # lost a race against a concurrent close(): the
+                    # session is gone, same contract as an expired one
+                    raise KeyError("unknown or expired session") from e
+                raise
         with self._lock:
             self.stats["stream_frames"] += len(poses)
         return poses
 
     def close(self, sid: str) -> np.ndarray:
-        sess = self._get(sid, pop=True)
+        # flush BEFORE removing the session: if the flush fails the
+        # session (and its held-back tail frames) survives for a retry
+        sess = self._get(sid)
         with sess["lock"]:
             poses = sess["gen"].flush()
         with self._lock:
+            self._sessions.pop(sid, None)
             self.stats["stream_frames"] += len(poses)
         return poses
 
@@ -432,32 +440,42 @@ class InferenceServer:
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
 
-            def _read_raw_body(self, q) -> "np.ndarray | None":
-                """Read + validate a raw-sample POST body; sends the error
-                response and returns None on failure."""
+            def _parse_raw_samples(self, body: bytes, q, allow_empty: bool,
+                                   dequantize: bool) -> "np.ndarray | None":
+                """Validate + decode raw little-endian samples; sends the
+                error response and returns None on failure. ``dequantize``
+                converts int16 on the host — the batched /generate path
+                keeps int16 for the half-width host->device transfer, the
+                streaming path wants float."""
                 dtype = q.get("dtype", ["float32"])[0]
                 if dtype not in ("int16", "float32"):
                     self._send(400, b'{"error": "dtype must be int16|float32"}',
                                "application/json")
                     return None
-                n = int(self.headers.get("Content-Length", 0))
-                if n > cfg.max_body_bytes:
-                    self._send(413, json.dumps({
-                        "error": f"body of {n} bytes exceeds "
-                                 f"max_body_bytes={cfg.max_body_bytes}"
-                    }).encode(), "application/json")
-                    return None
-                body = self.rfile.read(n)
                 np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
-                if n % np_dtype.itemsize:
+                n = len(body)
+                if (n == 0 and not allow_empty) or n % np_dtype.itemsize:
                     self._send(400, b'{"error": "body length not a '
                                b'multiple of the sample size"}',
                                "application/json")
                     return None
                 wave = np.frombuffer(body, np_dtype)
-                if np_dtype == np.dtype("<i2"):
+                if dequantize and np_dtype == np.dtype("<i2"):
                     wave = wave.astype(np.float32) / 32768.0
                 return wave
+
+            def _read_capped_body(self) -> "bytes | None":
+                """Read the body after the Content-Length cap; sends 413
+                and returns None when over the cap."""
+                n = int(self.headers.get("Content-Length", 0))
+                if n > cfg.max_body_bytes:
+                    # rejected before the body is read (bounded memory)
+                    self._send(413, json.dumps({
+                        "error": f"body of {n} bytes exceeds "
+                                 f"max_body_bytes={cfg.max_body_bytes}"
+                    }).encode(), "application/json")
+                    return None
+                return self.rfile.read(n)
 
             def _send_poses(self, poses):
                 buf = io.BytesIO()
@@ -473,8 +491,13 @@ class InferenceServer:
                                    b'running|none"}', "application/json")
                         return
                     try:
-                        sid = streams.open(
-                            None if seed is None else int(seed), stats_mode)
+                        seed = None if seed is None else int(seed)
+                    except ValueError:
+                        self._send(400, b'{"error": "seed must be an '
+                                   b'integer"}', "application/json")
+                        return
+                    try:
+                        sid = streams.open(seed, stats_mode)
                     except RuntimeError as e:
                         self._send(429, json.dumps({"error": str(e)}).encode(),
                                    "application/json")
@@ -493,7 +516,11 @@ class InferenceServer:
                     return
                 try:
                     if parsed.path == "/stream/feed":
-                        wave = self._read_raw_body(q)
+                        body = self._read_capped_body()
+                        if body is None:
+                            return
+                        wave = self._parse_raw_samples(
+                            body, q, allow_empty=True, dequantize=True)
                         if wave is None:
                             return
                         poses = streams.feed(sid, wave)
@@ -532,15 +559,9 @@ class InferenceServer:
                                b'auto|raw|file"}', "application/json")
                     return
                 seed = q.get("seed", [None])[0]
-                n = int(self.headers.get("Content-Length", 0))
-                if n > cfg.max_body_bytes:
-                    # rejected before the body is read (bounded memory)
-                    self._send(413, json.dumps({
-                        "error": f"body of {n} bytes exceeds "
-                                 f"max_body_bytes={cfg.max_body_bytes}"
-                    }).encode(), "application/json")
+                body = self._read_capped_body()
+                if body is None:
                     return
-                body = self.rfile.read(n)
                 if fmt != "raw" and _sniff_container(body[:12]) != "unknown":
                     try:
                         wave = _decode_file_body(body, sr)
@@ -559,13 +580,12 @@ class InferenceServer:
                                "application/json")
                     return
                 else:
-                    np_dtype = np.dtype("<i2" if dtype == "int16" else "<f4")
-                    if n == 0 or n % np_dtype.itemsize:
-                        self._send(400, b'{"error": "body length not a '
-                                   b'multiple of the sample size"}',
-                                   "application/json")
+                    # int16 stays int16: the engine ships PCM16 to the
+                    # device at half width and dequantizes there
+                    wave = self._parse_raw_samples(
+                        body, q, allow_empty=False, dequantize=False)
+                    if wave is None:
                         return
-                    wave = np.frombuffer(body, np_dtype)
                 try:
                     fut = engine.submit(
                         wave, None if seed is None else int(seed)
@@ -584,9 +604,7 @@ class InferenceServer:
                         {"error": f"{type(e).__name__}: {e}"}).encode(),
                         "application/json")
                     return
-                buf = io.BytesIO()
-                np.save(buf, np.asarray(poses, np.float32))
-                self._send(200, buf.getvalue(), "application/octet-stream")
+                self._send_poses(poses)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None

@@ -64,7 +64,10 @@ def render_pose_video(
             raise RuntimeError(
                 f"{ext} output needs ffmpeg (not found on PATH); "
                 "use a .gif path or install ffmpeg")
-        writer = animation.FFMpegWriter(fps=int(round(fps)))
+        # matplotlib's default codec (h264) can't be muxed into WebM;
+        # pick one the container accepts
+        codec = "vp9" if ext == ".webm" else None
+        writer = animation.FFMpegWriter(fps=int(round(fps)), codec=codec)
     else:
         writer = animation.PillowWriter(fps=int(round(fps)))
     anim.save(path, writer=writer)

@@ -170,6 +170,25 @@ def test_convert_cli_round_trip(tmp_path):
         jax.tree.map(np.testing.assert_array_equal, orig, got)
 
 
+def test_convert_cli_import_without_opt(tmp_path):
+    """--nowith_opt: weights convert, Adam state starts fresh (the loader
+    returns a 2-tuple without optimizer templates — regression for the
+    4-value unpack crash)."""
+    gan, audio, tc, state, ckpt = _make_ckpt(tmp_path)
+    pt = tmp_path / "model.pt"
+    _run_cli(tmp_path, "convert.py", ["--ckpt", ckpt, "--out", str(pt)])
+    imported = tmp_path / "imported"
+    stdout = _run_cli(tmp_path, "convert.py", [
+        "--torch", str(pt), "--preset", "tiny", "--out", str(imported),
+        "--nowith_opt"])
+    assert "opt=no" in stdout and "fresh Adam" in stdout
+
+    from music2dance_tpu.ckpt.orbax_io import restore_bundle
+
+    _, _, back = restore_bundle(str(imported))
+    jax.tree.map(np.testing.assert_array_equal, state.g_params, back.g_params)
+
+
 def test_convert_cli_rejects_ambiguous_direction(tmp_path):
     wrapper = tmp_path / "wrap.py"
     wrapper.write_text(_WRAPPER)

@@ -462,7 +462,8 @@ def test_http_streaming_session_end_to_end(model):
 
 
 def test_http_streaming_session_limits(model):
-    cfg = dataclasses.replace(SCFG, max_streams=1, stream_ttl_s=0.05)
+    # generous TTL here: the cap assertion must not race lazy eviction
+    cfg = dataclasses.replace(SCFG, max_streams=1, stream_ttl_s=300.0)
     server = InferenceServer(model, cfg).start()
     try:
         host, port = server.address
@@ -474,17 +475,32 @@ def test_http_streaming_session_limits(model):
             assert False, "expected 429"
         except urllib.error.HTTPError as e:
             assert e.code == 429
-        # after the TTL the stale session is evicted and a new one opens
-        import time
-
-        time.sleep(0.1)
-        with _post(host, port, "/stream/open") as resp:
-            assert resp.status == 200
-        # bad stats param -> 400
-        try:
-            _post(host, port, "/stream/open?stats=frozen")
-            assert False, "expected 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # bad params -> 400
+        for path in ("/stream/open?stats=frozen", "/stream/open?seed=abc"):
+            try:
+                _post(host, port, path)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         server.close()
+
+
+def test_stream_registry_ttl_eviction(model):
+    """TTL eviction, tested at the registry level where time is ours."""
+    from music2dance_tpu.infer.serving import _StreamRegistry
+
+    cfg = dataclasses.replace(SCFG, max_streams=1, stream_ttl_s=0.05)
+    reg = _StreamRegistry(model, cfg)
+    sid = reg.open(seed=0, stats_mode="running")
+    with pytest.raises(RuntimeError, match="max_streams"):
+        reg.open(seed=1, stats_mode="running")
+    import time
+
+    time.sleep(0.1)
+    # stale session evicted lazily: a new open succeeds, the old id 404s
+    sid2 = reg.open(seed=2, stats_mode="running")
+    assert sid2 != sid
+    with pytest.raises(KeyError):
+        reg.feed(sid, np.zeros(4, np.float32))
+    assert reg.stats["expired"] == 1
