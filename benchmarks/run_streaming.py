@@ -41,10 +41,12 @@ def main():
 
     fps = audio.feature_rate
     rng = np.random.default_rng(0)
-    for chunk_frames in (3, 9, 30):  # 100 ms / 300 ms / 1 s of audio
-        sess = StreamingSession(params, cfg, z)
+
+    def measure(b: int, chunk_frames: int) -> dict:
+        zb = jax.random.normal(jax.random.key(1), (b, cfg.noise_dim))
+        sess = StreamingSession(params, cfg, zb)
         chunk = rng.standard_normal(
-            (1, chunk_frames, cfg.feature_dim)).astype(np.float32)
+            (b, chunk_frames, cfg.feature_dim)).astype(np.float32)
         for _ in range(5):  # compile + warm the steady-state program
             sess.feed(chunk)
         n = 20
@@ -55,14 +57,26 @@ def main():
         dt = time.perf_counter() - t0
         assert frames == n * chunk_frames  # steady state: no held-back drift
         ms = dt / n * 1e3
-        print(json.dumps({
+        return {
             "metric": "streaming_feed_latency",
             "backend": jax.default_backend(),
+            "streams": b,
             "chunk_frames": chunk_frames,
             "chunk_ms": round(chunk_frames / fps * 1e3, 1),
             "ms_per_feed": round(ms, 3),
             "real_time_factor": round((chunk_frames / fps) / (ms / 1e3), 2),
-        }))
+            "stream_seconds_per_sec": round(
+                b * (chunk_frames / fps) / (ms / 1e3), 1),
+        }
+
+    for chunk_frames in (3, 9, 30):  # 100 ms / 300 ms / 1 s of audio
+        print(json.dumps(measure(1, chunk_frames)))
+    # lockstep multi-stream scaling: the session's batch dimension IS the
+    # MXU batch dimension — many concurrent live streams per chip at
+    # near-constant per-feed latency (the serving-side dual of the
+    # decode batch-scaling table in RESULTS.md)
+    for b in (16, 64):
+        print(json.dumps(measure(b, 3)))
 
 
 if __name__ == "__main__":
