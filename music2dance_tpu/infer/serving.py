@@ -290,9 +290,13 @@ class _StreamRegistry:
     so the protocol itself is plain stateless HTTP posts.
     """
 
-    def __init__(self, model: Music2DanceModel, cfg: ServingConfig):
+    def __init__(self, model: Music2DanceModel, cfg: ServingConfig,
+                 frozen_stats=None):
         self._model = model
         self._cfg = cfg
+        # corpus-level FrontendStats (preprocess.py --stats_out): the
+        # deterministic production policy, selected with stats=frozen
+        self._frozen = frozen_stats
         self._lock = threading.Lock()
         self._sessions: dict = {}
         self._seed_counter = 0
@@ -309,6 +313,14 @@ class _StreamRegistry:
         import time
         import uuid
 
+        if stats_mode == "frozen":
+            if self._frozen is None:
+                raise ValueError(
+                    "stats=frozen but the server has no corpus stats "
+                    "(start serve.py with --stream_stats)")
+            stats = self._frozen
+        else:
+            stats = stats_mode
         with self._lock:
             now = time.monotonic()
             self._evict_locked(now)
@@ -320,7 +332,7 @@ class _StreamRegistry:
                 self._seed_counter += 1
             sid = uuid.uuid4().hex
             self._sessions[sid] = {
-                "gen": self._model.stream(seed=int(seed), stats=stats_mode),
+                "gen": self._model.stream(seed=int(seed), stats=stats),
                 "lock": threading.Lock(),
                 "last_used": now,
             }
@@ -382,8 +394,10 @@ class InferenceServer:
         PCM that happens to start with container magic).
         200: .npy blob, float32 [T, n_joints, joint_dim]
         400/413: malformed input / song longer than max_seconds
-    POST /stream/open?seed=N&stats={running|none}
-        opens an online-decode session (infer/streaming.py semantics)
+    POST /stream/open?seed=N&stats={running|none|frozen}
+        opens an online-decode session (infer/streaming.py semantics);
+        stats=frozen uses the server's corpus-level FrontendStats
+        (``stream_stats`` / serve.py --stream_stats; 400 when unset)
         200: JSON {session, sample_rate, lag_frames, lag_samples}
         429: max_streams sessions already open
     POST /stream/feed?session=ID&dtype={int16|float32}
@@ -398,10 +412,11 @@ class InferenceServer:
 
     def __init__(self, model: Music2DanceModel,
                  cfg: ServingConfig = ServingConfig(),
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 stream_stats=None):
         self.engine = BatchingEngine(model, cfg)
         engine = self.engine
-        self.streams = _StreamRegistry(model, cfg)
+        self.streams = _StreamRegistry(model, cfg, frozen_stats=stream_stats)
         streams = self.streams
         layout = model.gan.generator.layout
         sr = model.audio.sample_rate
@@ -486,9 +501,10 @@ class InferenceServer:
                 if parsed.path == "/stream/open":
                     seed = q.get("seed", [None])[0]
                     stats_mode = q.get("stats", ["running"])[0]
-                    if stats_mode not in ("running", "none"):
+                    if stats_mode not in ("running", "none", "frozen"):
                         self._send(400, b'{"error": "stats must be '
-                                   b'running|none"}', "application/json")
+                                   b'running|none|frozen"}',
+                                   "application/json")
                         return
                     try:
                         seed = None if seed is None else int(seed)
@@ -498,6 +514,10 @@ class InferenceServer:
                         return
                     try:
                         sid = streams.open(seed, stats_mode)
+                    except ValueError as e:  # frozen without corpus stats
+                        self._send(400, json.dumps({"error": str(e)}).encode(),
+                                   "application/json")
+                        return
                     except RuntimeError as e:
                         self._send(429, json.dumps({"error": str(e)}).encode(),
                                    "application/json")

@@ -210,6 +210,67 @@ class FrontendStats:
         var = np.asarray(jnp.var(feats, axis=1))[0]
         return cls(mean=mean, var=var, peak_db=peak)
 
+    @classmethod
+    def from_corpus(cls, waves, cfg: AudioConfig) -> "FrontendStats":
+        """Corpus-level stats: the production configuration for streaming.
+
+        Mirrors the streaming math exactly — pass 1 finds the corpus-wide
+        peak, pass 2 pools per-feature moments of features clipped against
+        THAT peak (not each clip's own), so a session frozen on these
+        stats behaves like one long stream over the corpus. ``waves`` is a
+        sequence of 1-D waveforms.
+        """
+        from ..audio.filters import frontend_constants
+
+        if len(waves) == 0:
+            raise ValueError("from_corpus needs at least one waveform")
+        c = frontend_constants(cfg)
+        dct = np.asarray(c["dct_T"])
+        ref = 10.0 * np.log10(max(cfg.amin, cfg.ref_db))
+        logmels = []
+        peak = -np.inf
+        for w in waves:
+            from ..audio.frontend import melspectrogram
+
+            mel = np.asarray(
+                melspectrogram(jnp.asarray(np.asarray(w, np.float32))[None],
+                               cfg))[0]
+            ls = 10.0 * np.log10(np.maximum(cfg.amin, mel)) - ref
+            peak = max(peak, float(ls.max()))
+            logmels.append(ls)
+        count = 0
+        s = np.zeros((cfg.n_features,), np.float64)
+        s2 = np.zeros((cfg.n_features,), np.float64)
+        for ls in logmels:
+            if cfg.top_db is not None:
+                ls = np.maximum(ls, peak - cfg.top_db)
+            feats = ls @ dct if cfg.feature_type == "mfcc" else ls
+            count += feats.shape[0]
+            s += feats.sum(axis=0)
+            s2 += (feats.astype(np.float64) ** 2).sum(axis=0)
+        mean = s / count
+        var = np.maximum(s2 / count - mean ** 2, 0.0)
+        return cls(mean=mean.astype(np.float32), var=var.astype(np.float32),
+                   peak_db=peak)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({
+            "mean": np.asarray(self.mean, np.float64).tolist(),
+            "var": np.asarray(self.var, np.float64).tolist(),
+            "peak_db": float(self.peak_db),
+        })
+
+    @classmethod
+    def from_json(cls, text: str) -> "FrontendStats":
+        import json
+
+        d = json.loads(text)
+        return cls(mean=np.asarray(d["mean"], np.float32),
+                   var=np.asarray(d["var"], np.float32),
+                   peak_db=float(d["peak_db"]))
+
 
 class StreamingFeatureExtractor:
     """Waveform chunks in, feature frames out (single stream, host math).

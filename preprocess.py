@@ -19,6 +19,10 @@ flags.DEFINE_float("synthetic_seconds", 6.0, "synthetic clip length")
 flags.DEFINE_string("out_dir", None, "output cache directory (.npz per clip)")
 flags.DEFINE_string("frontend", "auto", "frontend impl: auto | xla | pallas")
 flags.DEFINE_integer("seed", 0, "rng seed for synthetic data")
+flags.DEFINE_string("stats_out", None,
+                    "also write corpus-level frontend stats JSON here "
+                    "(frozen normalization/top_db constants for streaming "
+                    "inference — serve.py --stream_stats)")
 flags.mark_flag_as_required("out_dir")
 
 
@@ -48,6 +52,16 @@ def main(argv):
         f"cached {len(pre)} clips -> {FLAGS.out_dir} "
         f"(feats {sample['feats'].shape}, pose {sample['pose'].shape})"
     )
+
+    if FLAGS.stats_out:
+        from music2dance_tpu.infer.streaming import FrontendStats
+
+        stats = FrontendStats.from_corpus(
+            [source[i]["wave"] for i in range(len(source))], audio)
+        with open(FLAGS.stats_out, "w") as f:
+            f.write(stats.to_json())
+        print(f"corpus frontend stats -> {FLAGS.stats_out} "
+              f"(peak_db {stats.peak_db:.2f})")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,9 @@ flags.DEFINE_integer("max_streams", 64,
                      "cap on concurrently open /stream sessions")
 flags.DEFINE_float("stream_ttl", 120.0,
                    "idle seconds before a /stream session is evicted")
+flags.DEFINE_string("stream_stats", None,
+                    "corpus frontend-stats JSON (preprocess.py "
+                    "--stats_out); enables stats=frozen stream sessions")
 flags.mark_flag_as_required("ckpt")
 
 
@@ -67,7 +70,14 @@ def main(argv):
         max_streams=FLAGS.max_streams,
         stream_ttl_s=FLAGS.stream_ttl,
     )
-    server = InferenceServer(model, cfg, host=FLAGS.host, port=FLAGS.port)
+    stream_stats = None
+    if FLAGS.stream_stats:
+        from music2dance_tpu.infer.streaming import FrontendStats
+
+        with open(FLAGS.stream_stats) as f:
+            stream_stats = FrontendStats.from_json(f.read())
+    server = InferenceServer(model, cfg, host=FLAGS.host, port=FLAGS.port,
+                             stream_stats=stream_stats)
     if FLAGS.warmup:
         n = server.engine.warmup()
         print(f"warmed {n} grid programs")

@@ -504,3 +504,40 @@ def test_stream_registry_ttl_eviction(model):
     with pytest.raises(KeyError):
         reg.feed(sid, np.zeros(4, np.float32))
     assert reg.stats["expired"] == 1
+
+
+def test_http_stream_frozen_stats(model):
+    from music2dance_tpu.infer.streaming import FrontendStats
+
+    stats = FrontendStats.from_corpus([_wave(31, 0.5)], AUDIO)
+    # without server stats: frozen -> 400
+    server = InferenceServer(model, SCFG).start()
+    try:
+        host, port = server.address
+        try:
+            _post(host, port, "/stream/open?stats=frozen")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"stream_stats" in e.read()
+    finally:
+        server.close()
+    # with server stats: a frozen session decodes
+    server = InferenceServer(model, SCFG, stream_stats=stats).start()
+    try:
+        host, port = server.address
+        import json as _json
+
+        sid = _json.loads(
+            _post(host, port, "/stream/open?stats=frozen&seed=1").read()
+        )["session"]
+        w = _wave(32, 0.4)
+        with _post(host, port, f"/stream/feed?session={sid}&dtype=float32",
+                   w.astype("<f4").tobytes()) as r:
+            p1 = np.load(io.BytesIO(r.read()))
+        with _post(host, port, f"/stream/close?session={sid}") as r:
+            p2 = np.load(io.BytesIO(r.read()))
+        total = p1.shape[0] + p2.shape[0]
+        assert total == 1 + len(w) // AUDIO.hop_length
+        assert np.isfinite(np.concatenate([p1, p2])).all()
+    finally:
+        server.close()

@@ -205,3 +205,42 @@ def test_model_stream_matches_generate_with_frozen_stats():
     streamed = np.concatenate(chunks, axis=0)
     assert streamed.shape == offline.shape
     np.testing.assert_allclose(streamed, offline, rtol=1e-3, atol=1e-3)
+
+
+def test_frontend_stats_corpus_and_json_roundtrip():
+    """from_corpus on one clip == from_waveform; JSON survives exactly."""
+    wave = _wave(AUDIO.num_samples(1.0), seed=13)
+    one = FrontendStats.from_waveform(wave, AUDIO)
+    corp = FrontendStats.from_corpus([wave], AUDIO)
+    np.testing.assert_allclose(corp.mean, one.mean, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(corp.var, one.var, rtol=1e-3, atol=1e-4)
+    assert abs(corp.peak_db - one.peak_db) < 1e-3
+
+    back = FrontendStats.from_json(corp.to_json())
+    np.testing.assert_array_equal(back.mean, corp.mean)
+    np.testing.assert_array_equal(back.var, corp.var)
+    assert back.peak_db == corp.peak_db
+
+    # pooled over two clips: moments lie between the per-clip ones
+    w2 = _wave(AUDIO.num_samples(0.6), seed=14) * 0.2
+    pooled = FrontendStats.from_corpus([wave, w2], AUDIO)
+    assert pooled.peak_db == pytest.approx(max(
+        FrontendStats.from_waveform(wave, AUDIO).peak_db,
+        FrontendStats.from_waveform(w2, AUDIO).peak_db), abs=1e-4)
+    with pytest.raises(ValueError, match="at least one"):
+        FrontendStats.from_corpus([], AUDIO)
+
+
+def test_extractor_frozen_corpus_stats_runs():
+    """Streaming under corpus stats: deterministic, chunking-invariant."""
+    waves = [_wave(AUDIO.num_samples(0.8), seed=s) for s in (20, 21)]
+    stats = FrontendStats.from_corpus(waves, AUDIO)
+    outs = []
+    for chunk in (700, 3000):
+        ex = StreamingFeatureExtractor(AUDIO, stats=stats)
+        rows = [ex.feed(waves[0][i:i + chunk])
+                for i in range(0, len(waves[0]), chunk)]
+        rows.append(ex.flush())
+        outs.append(np.concatenate(rows, axis=0))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=1e-4)
+    assert np.isfinite(outs[0]).all()
