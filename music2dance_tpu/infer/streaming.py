@@ -65,6 +65,23 @@ def _jit_gi(cfg: GeneratorConfig):
 
 
 @functools.lru_cache(maxsize=8)
+def _jit_fused_from_gi(cfg: GeneratorConfig, interpret: bool):
+    """Jitted fused-kernel scan from precomputed gi (ops/fused_generator):
+    ~1.9x the XLA scan at large lockstep batches on TPU — the multi-stream
+    serving case. State uses the kernel bank's stacked [S*L, B, H] layout."""
+    from ..ops.fused_generator import (extract_step_weights,
+                                       fused_generator_forward)
+
+    def run(step_params, h0, prev0, gi):
+        w = extract_step_weights(step_params, cfg)
+        poses, _hp, _pp, h_fin, p_fin = fused_generator_forward(
+            gi, h0, prev0, w, cfg, interpret=interpret)  # poses [B, T, P]
+        return poses, h_fin, p_fin
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
 def _jit_scan_from_gi(cfg: GeneratorConfig):
     """Jitted (step_params, carry, gi [B,T,G*H]) -> (poses, carry): the
     generator's time scan alone, fed precomputed hoisted projections
@@ -102,9 +119,15 @@ class StreamingSession:
 
     Chunks of a constant size keep the jit cache at ~3 programs (first
     feed, steady state, flush).
+
+    ``impl``: "auto" (fused Pallas scan kernel on TPU when the config is
+    inside its envelope — the multi-stream serving case rides the same
+    ~1.9x kernel as batched offline decode — else the XLA scan), "xla",
+    or "fused" (forced; interpret mode off-TPU, used by the parity tests).
     """
 
-    def __init__(self, g_params, cfg: GeneratorConfig, z: jax.Array):
+    def __init__(self, g_params, cfg: GeneratorConfig, z: jax.Array,
+                 impl: str = "auto"):
         params = g_params.get("params", g_params)
         self._params = params
         self._cfg = cfg
@@ -116,8 +139,31 @@ class StreamingSession:
         self._buf = np.zeros((self._b, 0, cfg.feature_dim), np.float32)
         self._buf_start = 0
         self._emitted = 0
-        self._carry = generator_init_carry(cfg, self._b)
         self._flushed = False
+        from ..ops.fused_generator import supports_fused, why_not_fused
+
+        if impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            impl = ("fused" if on_tpu and supports_fused(cfg, interpret=False)
+                    else "xla")
+        if impl == "fused":
+            interpret = jax.default_backend() != "tpu"
+            if not supports_fused(cfg, interpret=interpret):
+                raise ValueError(
+                    f"impl='fused': {why_not_fused(cfg, interpret)}")
+            self._interpret = interpret
+        elif impl != "xla":
+            raise ValueError(f"impl must be auto|xla|fused, got {impl!r}")
+        self._impl = impl
+        if impl == "fused":
+            from ..ops.cell_math import state_slots
+
+            sl = state_slots(cfg.cell) * cfg.rnn_layers
+            self._carry = (jnp.zeros((sl, self._b, cfg.hidden_dim),
+                                     jnp.float32),
+                           jnp.zeros((self._b, cfg.pose_dim), jnp.float32))
+        else:
+            self._carry = generator_init_carry(cfg, self._b)
 
     @property
     def frames_emitted(self) -> int:
@@ -152,8 +198,14 @@ class StreamingSession:
         window = self._buf[:, w0 - self._buf_start:]
         gi = _jit_gi(cfg)(self._params, jnp.asarray(window), self._z)
         off = self._emitted - w0
-        poses, self._carry = _jit_scan_from_gi(cfg)(
-            self._params["step"], self._carry, gi[:, off:off + e])
+        if self._impl == "fused":
+            h0, prev0 = self._carry
+            poses, h_fin, p_fin = _jit_fused_from_gi(cfg, self._interpret)(
+                self._params["step"], h0, prev0, gi[:, off:off + e])
+            self._carry = (h_fin, p_fin)
+        else:
+            poses, self._carry = _jit_scan_from_gi(cfg)(
+                self._params["step"], self._carry, gi[:, off:off + e])
         self._emitted = emit_end
         # drop frames no longer needed as left context
         keep_from = max(0, self._emitted - self._hl)

@@ -244,3 +244,21 @@ def test_extractor_frozen_corpus_stats_runs():
         outs.append(np.concatenate(rows, axis=0))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=1e-4)
     assert np.isfinite(outs[0]).all()
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_session_fused_impl_matches_offline(cell):
+    """impl='fused' (kernel bank scan, interpret mode on CPU) streams the
+    same poses as the offline pass — the TPU multi-stream serving path."""
+    cfg = _cfg(cell=cell)
+    params, feats, z, full = _setup(cfg, b=2, t=14)
+    sess = StreamingSession(params, cfg, z, impl="fused")
+    streamed = np.concatenate(
+        [sess.feed(feats[:, :5]), sess.feed(feats[:, 5:]), sess.flush()],
+        axis=1)
+    np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="impl"):
+        StreamingSession(params, cfg, z, impl="nope")
+    with pytest.raises(ValueError, match="fused"):
+        StreamingSession(params, _cfg(autoregressive=False), z, impl="fused")
