@@ -381,6 +381,26 @@ class _StreamRegistry:
         with self._lock:
             return len(self._sessions)
 
+    def warmup(self, chunk_frames=(3, 15, 30)) -> int:
+        """Precompile the stream programs for the given chunk sizes (in
+        feature frames) so a production session's first feeds don't pay
+        the compiler — on a TPU a cold Pallas compile is minutes. Only
+        helps clients that stream chunks of these sizes (constant-size
+        chunks are the documented fast path). Uses throwaway sessions
+        outside the registry, so client-facing stats stay clean. Returns
+        the number of programs warmed (first feed / steady state / flush
+        per chunk size; the jit caches are shared by real sessions)."""
+        hop = self._model.audio.hop_length
+        count = 0
+        for frames in chunk_frames:
+            gen = self._model.stream(seed=0, stats="running")
+            chunk = np.zeros((max(1, int(frames)) * hop,), np.float32)
+            gen.feed(chunk)
+            gen.feed(chunk)
+            gen.flush()
+            count += 3
+        return count
+
 
 class InferenceServer:
     """Stdlib HTTP server in front of a BatchingEngine.

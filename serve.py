@@ -80,7 +80,8 @@ def main(argv):
                              stream_stats=stream_stats)
     if FLAGS.warmup:
         n = server.engine.warmup()
-        print(f"warmed {n} grid programs")
+        ns = server.streams.warmup()
+        print(f"warmed {n} grid programs + {ns} stream programs")
     host, port = server.address
     print(f"serving {FLAGS.ckpt} (step={step}) on http://{host}:{port} "
           f"[max_batch={cfg.max_batch}, grid={cfg.bucket_seconds}s x "

@@ -541,3 +541,14 @@ def test_http_stream_frozen_stats(model):
         assert np.isfinite(np.concatenate([p1, p2])).all()
     finally:
         server.close()
+
+
+def test_stream_registry_warmup(model):
+    """warmup precompiles stream programs without touching client stats."""
+    from music2dance_tpu.infer.serving import _StreamRegistry
+
+    reg = _StreamRegistry(model, SCFG)
+    n = reg.warmup(chunk_frames=(2,))
+    assert n == 3
+    assert reg.stats == {"opened": 0, "expired": 0, "stream_frames": 0}
+    assert reg.open_count() == 0
