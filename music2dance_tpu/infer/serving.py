@@ -101,6 +101,11 @@ class ServingConfig:
     # sessions, and how long an idle session lives before lazy eviction.
     max_streams: int = 64
     stream_ttl_s: float = 120.0
+    # Coalescing of concurrent stream feeds into lockstep device calls
+    # (64 solo B=1 dispatches per tick are ~9x slower than one B=64 call
+    # — benchmarks/RESULTS.md multi-stream table). How long a feed waits
+    # for compatible feeds from other sessions; 0 disables coalescing.
+    stream_wait_ms: float = 5.0
 
     def batch_bucket(self, n: int) -> int:
         """Smallest power of two >= n, capped at max_batch."""
@@ -277,6 +282,91 @@ class BatchingEngine:
             req.future.set_result(poses[i, : lengths[i]])
 
 
+class _StreamCoalescer:
+    """Batches concurrent stream feeds into lockstep device calls.
+
+    HTTP sessions feed independently, but the chip wants one [N, ...]
+    call, not N [1, ...] calls. A worker drains the feed queue for up to
+    ``stream_wait_ms``, partitions what arrived by plan key (sessions in
+    the same steady state share program shapes), pads each group onto a
+    power-of-two row bucket (bounded jit cache), and runs
+    ``execute_plans``. A lone stream pays the wait as extra latency —
+    the knob exists to turn that off (stream_wait_ms=0 bypasses this
+    class entirely in _StreamRegistry.feed).
+    """
+
+    def __init__(self, g_params, gen_cfg, wait_ms: float, max_group: int):
+        self._params = g_params
+        self._cfg = gen_cfg
+        self._wait_s = wait_ms / 1e3
+        self._max_group = max_group
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.batches = 0
+        self.rows = 0
+        self._worker = threading.Thread(
+            target=self._loop, name="m2d-stream-coalescer", daemon=True)
+        self._worker.start()
+
+    def run(self, plan) -> "tuple":
+        """Enqueue one session's plan; blocks until its (poses, carry)."""
+        if self._stop.is_set():
+            raise RuntimeError("coalescer is closed")
+        fut: Future = Future()
+        self._q.put((plan, fut))
+        return fut.result()
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+        while True:
+            try:
+                _plan, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("coalescer closed"))
+
+    def _loop(self):
+        import time
+
+        from .streaming import execute_plans
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self._wait_s
+            while len(batch) < self._max_group:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            groups: dict = {}
+            for plan, fut in batch:
+                groups.setdefault(plan.key(), []).append((plan, fut))
+            for items in groups.values():
+                try:
+                    pad = 1
+                    while pad < len(items):
+                        pad *= 2
+                    results = execute_plans(
+                        self._params, self._cfg,
+                        [p for p, _ in items], pad_to=pad)
+                    self.batches += 1
+                    self.rows += len(items)
+                    for (_, fut), res in zip(items, results):
+                        fut.set_result(res)
+                except Exception as e:  # noqa: BLE001 — worker must survive
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+
 class _StreamRegistry:
     """Server-side online-decode sessions behind POST /stream/*.
 
@@ -300,7 +390,12 @@ class _StreamRegistry:
         self._lock = threading.Lock()
         self._sessions: dict = {}
         self._seed_counter = 0
-        self.stats = {"opened": 0, "expired": 0, "stream_frames": 0}
+        self.stats = {"opened": 0, "expired": 0, "stream_frames": 0,
+                      "coalesced_batches": 0, "coalesced_rows": 0}
+        self._coalescer = (
+            _StreamCoalescer(model.g_params, model.gan.generator,
+                             cfg.stream_wait_ms, cfg.max_streams)
+            if cfg.stream_wait_ms > 0 else None)
 
     def _evict_locked(self, now: float):
         dead = [k for k, s in self._sessions.items()
@@ -355,7 +450,19 @@ class _StreamRegistry:
         sess = self._get(sid)
         with sess["lock"]:
             try:
-                poses = sess["gen"].feed(wave)
+                gen = sess["gen"]
+                if self._coalescer is None:
+                    poses = gen.feed(wave)
+                else:
+                    plan = gen.plan_feed(wave)
+                    if plan is None:  # nothing computable yet: [0, J, D]
+                        layout = self._model.gan.generator.layout
+                        poses = np.zeros(
+                            (0, layout.n_joints, layout.joint_dim),
+                            np.float32)
+                    else:
+                        out, carry = self._coalescer.run(plan)
+                        poses = gen.apply_plan(plan, out, carry)
             except RuntimeError as e:
                 if "flushed" in str(e):
                     # lost a race against a concurrent close(): the
@@ -364,6 +471,9 @@ class _StreamRegistry:
                 raise
         with self._lock:
             self.stats["stream_frames"] += len(poses)
+            if self._coalescer is not None:
+                self.stats["coalesced_batches"] = self._coalescer.batches
+                self.stats["coalesced_rows"] = self._coalescer.rows
         return poses
 
     def close(self, sid: str) -> np.ndarray:
@@ -380,6 +490,12 @@ class _StreamRegistry:
     def open_count(self) -> int:
         with self._lock:
             return len(self._sessions)
+
+    def shutdown(self):
+        if self._coalescer is not None:
+            self._coalescer.close()
+        with self._lock:
+            self._sessions.clear()
 
     def warmup(self, chunk_frames=(3, 15, 30)) -> int:
         """Precompile the stream programs for the given chunk sizes (in
@@ -669,4 +785,5 @@ class InferenceServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+        self.streams.shutdown()
         self.engine.close()

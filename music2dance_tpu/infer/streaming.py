@@ -105,6 +105,105 @@ def _jit_scan_from_gi(cfg: GeneratorConfig):
     return jax.jit(run)
 
 
+@dataclasses.dataclass
+class EmitPlan:
+    """One session's pending emit, detached from the session so several
+    sessions' plans can run as ONE lockstep device call (``execute_plans``
+    — the multi-stream serving fast path). Produced by
+    ``StreamingSession.plan_feed``/``plan_flush``; finalized by ``apply``.
+    """
+
+    window: np.ndarray      # [B, Tw, F] halo-extended feature window
+    off: int                # first emitted frame's offset inside window
+    e: int                  # frames to emit
+    emit_end: int           # global cursor after this emit
+    z: jax.Array            # [B, Z] session latent
+    carry: object           # session carry at plan time (impl layout)
+    impl: str               # "xla" | "fused"
+    interpret: "bool | None"
+
+    def key(self) -> tuple:
+        """Plans sharing a key can run batched (same program shapes)."""
+        return (self.window.shape[1], self.off, self.e, self.impl,
+                self.window.shape[0])
+
+
+def execute_plans(g_params, cfg: GeneratorConfig, plans, pad_to=None):
+    """Run several sessions' pending emits as ONE device call.
+
+    All plans must share ``key()`` and have batch size 1 (one row per
+    stream). ``pad_to`` pads the lockstep batch with inert zero rows onto
+    a size grid so the jit cache stays bounded under varying concurrency
+    (the serving coalescer passes power-of-two buckets). Returns
+    ``[(poses [1, e, P], carry), ...]`` in plan order — feed each to its
+    session's ``apply``. Row i's math is independent of the other rows,
+    so results match the solo path up to XLA reduction-order noise
+    between differently-shaped programs (same caveat, and test, as the
+    offline BatchingEngine).
+    """
+    params = g_params.get("params", g_params)
+    p0 = plans[0]
+    if any(p.key() != p0.key() for p in plans) or p0.window.shape[0] != 1:
+        raise ValueError("plans must share key() and be single-stream")
+    n = len(plans)
+    rows = max(n, pad_to or n)
+    tw = p0.window.shape[1]
+    windows = np.zeros((rows, tw, cfg.feature_dim), np.float32)
+    for i, p in enumerate(plans):
+        windows[i] = p.window[0]
+    zdim = p0.z.shape[1]
+    z = jnp.concatenate(
+        [p.z for p in plans]
+        + ([jnp.zeros((rows - n, zdim), p0.z.dtype)] if rows > n else []),
+        axis=0)
+    gi = _jit_gi(cfg)(params, jnp.asarray(windows), z)
+    gi_e = gi[:, p0.off:p0.off + p0.e]
+    if p0.impl == "fused":
+        h0 = jnp.concatenate([p.carry[0] for p in plans], axis=1)
+        prev0 = jnp.concatenate([p.carry[1] for p in plans], axis=0)
+        if rows > n:
+            h0 = jnp.concatenate(
+                [h0, jnp.zeros(h0.shape[:1] + (rows - n,) + h0.shape[2:],
+                               h0.dtype)], axis=1)
+            prev0 = jnp.concatenate(
+                [prev0, jnp.zeros((rows - n,) + prev0.shape[1:],
+                                  prev0.dtype)], axis=0)
+        poses, h_fin, p_fin = _jit_fused_from_gi(cfg, p0.interpret)(
+            params["step"], h0, prev0, gi_e)
+        return [(poses[i:i + 1], (h_fin[:, i:i + 1], p_fin[i:i + 1]))
+                for i in range(n)]
+    # XLA carry = (rnn_carry [..., B, H] leaves, prev_pose [B, P]):
+    # the batch axis is ndim-2 for state leaves, 0 for the pose
+    def cat(axis_fn):
+        def run(*xs):
+            ax = axis_fn(xs[0])
+            out = jnp.concatenate(xs, axis=ax)
+            if rows > n:
+                pad_shape = list(out.shape)
+                pad_shape[ax] = rows - n
+                out = jnp.concatenate(
+                    [out, jnp.zeros(pad_shape, out.dtype)], axis=ax)
+            return out
+        return run
+
+    state_ax = lambda x: x.ndim - 2
+    carry = (
+        jax.tree.map(cat(state_ax), *[p.carry[0] for p in plans]),
+        cat(lambda x: 0)(*[p.carry[1] for p in plans]),
+    )
+    poses, carry_out = _jit_scan_from_gi(cfg)(params["step"], carry, gi_e)
+
+    def row(i):
+        return (
+            jax.tree.map(
+                lambda x: jax.lax.slice_in_dim(x, i, i + 1, axis=x.ndim - 2),
+                carry_out[0]),
+            carry_out[1][i:i + 1],
+        )
+
+    return [(poses[i:i + 1], row(i)) for i in range(n)]
+
+
 class StreamingSession:
     """Chunked autoregressive decode, exact vs the offline whole-song pass.
 
@@ -186,51 +285,85 @@ class StreamingSession:
             (self._b, 0, cfg.layout.n_joints, cfg.layout.joint_dim),
             np.float32)
 
-    def _emit(self, emit_end: int) -> np.ndarray:
-        cfg = self._cfg
+    def _plan(self, emit_end: int) -> "EmitPlan | None":
+        """Everything a (possibly external, batched) executor needs to run
+        this session's pending emit; None when nothing is computable."""
         e = emit_end - self._emitted
         if e <= 0:
-            return self._empty()
+            return None
         # encoder window: left-halo context behind the cursor (or the true
         # sequence start, where SAME zero padding is the offline
         # semantics), everything received on the right
         w0 = max(0, self._emitted - self._hl)
         window = self._buf[:, w0 - self._buf_start:]
-        gi = _jit_gi(cfg)(self._params, jnp.asarray(window), self._z)
-        off = self._emitted - w0
-        if self._impl == "fused":
-            h0, prev0 = self._carry
-            poses, h_fin, p_fin = _jit_fused_from_gi(cfg, self._interpret)(
-                self._params["step"], h0, prev0, gi[:, off:off + e])
-            self._carry = (h_fin, p_fin)
-        else:
-            poses, self._carry = _jit_scan_from_gi(cfg)(
-                self._params["step"], self._carry, gi[:, off:off + e])
-        self._emitted = emit_end
-        # drop frames no longer needed as left context
-        keep_from = max(0, self._emitted - self._hl)
-        self._buf = self._buf[:, keep_from - self._buf_start:]
-        self._buf_start = keep_from
-        return np.asarray(poses).reshape(
-            self._b, e, cfg.layout.n_joints, cfg.layout.joint_dim)
+        return EmitPlan(
+            window=window, off=self._emitted - w0, e=e, emit_end=emit_end,
+            z=self._z, carry=self._carry, impl=self._impl,
+            interpret=getattr(self, "_interpret", None),
+        )
 
-    def feed(self, feats_chunk) -> np.ndarray:
-        """[B, Tc, F] features -> [B, E, n_joints, joint_dim] poses
-        (E = frames whose encoder context is now complete; may be 0)."""
+    def plan_feed(self, feats_chunk) -> "EmitPlan | None":
+        """Buffer a chunk and return the pending emit (or None). The plan
+        must then be run (``execute_plans`` or the session's own jits) and
+        finalized with ``apply`` — ``feed()`` does all three for the
+        single-session case; the serving coalescer batches the middle step
+        across sessions."""
         if self._flushed:
             raise RuntimeError("session already flushed")
         chunk = self._as_chunk(feats_chunk)
         self._buf = np.concatenate([self._buf, chunk], axis=1)
         avail = self._buf_start + self._buf.shape[1]
-        return self._emit(avail - self._hr)
+        return self._plan(avail - self._hr)
+
+    def plan_flush(self) -> "EmitPlan | None":
+        if self._flushed:
+            raise RuntimeError("session already flushed")
+        self._flushed = True
+        return self._plan(self._buf_start + self._buf.shape[1])
+
+    def apply(self, plan: "EmitPlan", poses: np.ndarray, carry) -> np.ndarray:
+        """Finalize an executed plan: advance the cursor, trim the left-
+        context buffer, adopt the new carry; returns the reshaped poses."""
+        cfg = self._cfg
+        self._carry = carry
+        self._emitted = plan.emit_end
+        keep_from = max(0, self._emitted - self._hl)
+        self._buf = self._buf[:, keep_from - self._buf_start:]
+        self._buf_start = keep_from
+        return np.asarray(poses).reshape(
+            self._b, plan.e, cfg.layout.n_joints, cfg.layout.joint_dim)
+
+    def run_plan(self, plan: "EmitPlan"):
+        """Single-session execution of a plan: (poses [B, e, P], carry)."""
+        cfg = self._cfg
+        gi = _jit_gi(cfg)(self._params, jnp.asarray(plan.window), plan.z)
+        gi_e = gi[:, plan.off:plan.off + plan.e]
+        if plan.impl == "fused":
+            h0, prev0 = plan.carry
+            poses, h_fin, p_fin = _jit_fused_from_gi(cfg, plan.interpret)(
+                self._params["step"], h0, prev0, gi_e)
+            return poses, (h_fin, p_fin)
+        poses, carry = _jit_scan_from_gi(cfg)(
+            self._params["step"], plan.carry, gi_e)
+        return poses, carry
+
+    def feed(self, feats_chunk) -> np.ndarray:
+        """[B, Tc, F] features -> [B, E, n_joints, joint_dim] poses
+        (E = frames whose encoder context is now complete; may be 0)."""
+        plan = self.plan_feed(feats_chunk)
+        if plan is None:
+            return self._empty()
+        poses, carry = self.run_plan(plan)
+        return self.apply(plan, poses, carry)
 
     def flush(self) -> np.ndarray:
         """End of stream: emit the right-halo frames held back by feed()
         (the encoder sees the offline right-edge zero padding)."""
-        if self._flushed:
-            raise RuntimeError("session already flushed")
-        self._flushed = True
-        return self._emit(self._buf_start + self._buf.shape[1])
+        plan = self.plan_flush()
+        if plan is None:
+            return self._empty()
+        poses, carry = self.run_plan(plan)
+        return self.apply(plan, poses, carry)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -522,6 +655,21 @@ class StreamingGenerator:
         """[Lc] samples -> [E, n_joints, joint_dim] poses (E may be 0)."""
         feats = self._ex.feed(wave_chunk)
         return self._sess.feed(feats[None])[0]
+
+    def plan_feed(self, wave_chunk) -> "EmitPlan | None":
+        """Plan-level feed for batched execution across sessions: extract
+        features, return the pending EmitPlan (None when nothing is
+        computable yet). Run it (``execute_plans`` or
+        ``session.run_plan``), then finalize with ``apply_plan``."""
+        feats = self._ex.feed(wave_chunk)
+        return self._sess.plan_feed(feats[None])
+
+    def apply_plan(self, plan: "EmitPlan", poses, carry) -> np.ndarray:
+        return self._sess.apply(plan, poses, carry)[0]
+
+    @property
+    def session(self) -> StreamingSession:
+        return self._sess
 
     def flush(self) -> np.ndarray:
         """End of stream -> the remaining [E, n_joints, joint_dim] poses."""

@@ -550,5 +550,73 @@ def test_stream_registry_warmup(model):
     reg = _StreamRegistry(model, SCFG)
     n = reg.warmup(chunk_frames=(2,))
     assert n == 3
-    assert reg.stats == {"opened": 0, "expired": 0, "stream_frames": 0}
+    assert reg.stats["opened"] == 0 and reg.stats["stream_frames"] == 0
     assert reg.open_count() == 0
+    reg.shutdown()
+
+
+def test_http_stream_coalescing_matches_solo(model):
+    """Concurrent sessions' feeds coalesce into lockstep device calls and
+    still return exactly each stream's own poses."""
+    import time
+
+    cfg = dataclasses.replace(SCFG, stream_wait_ms=50.0)
+    server = InferenceServer(model, cfg).start()
+    try:
+        host, port = server.address
+        n = 4
+        waves = [_wave(70 + i, 0.45) for i in range(n)]
+        import json as _json
+
+        sids = [_json.loads(_post(
+            host, port, f"/stream/open?seed={200 + i}&stats=none").read()
+        )["session"] for i in range(n)]
+
+        step = 600
+        results = [[] for _ in range(n)]
+        errs = []
+        barrier = threading.Barrier(n)
+
+        def client(i):
+            try:
+                for lo in range(0, len(waves[i]), step):
+                    barrier.wait(timeout=30)
+                    with _post(host, port,
+                               f"/stream/feed?session={sids[i]}&dtype=float32",
+                               waves[i][lo:lo + step].astype("<f4").tobytes()
+                               ) as r:
+                        results[i].append(np.load(io.BytesIO(r.read())))
+                with _post(host, port,
+                           f"/stream/close?session={sids[i]}") as r:
+                    results[i].append(np.load(io.BytesIO(r.read())))
+            except Exception as e:  # noqa: BLE001
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs, errs
+
+        import urllib.request as _ur
+
+        health = _json.loads(_ur.urlopen(
+            f"http://{host}:{port}/healthz", timeout=10).read())
+        assert health["stats"]["coalesced_rows"] >= n  # feeds went through it
+        # concurrent same-shape feeds actually shared device calls
+        assert health["stats"]["coalesced_batches"] < \
+            health["stats"]["coalesced_rows"]
+
+        for i in range(n):
+            got = np.concatenate([c for c in results[i] if len(c)], axis=0)
+            sg = model.stream(seed=200 + i, stats="none")
+            chunks = [sg.feed(waves[i][lo:lo + step])
+                      for lo in range(0, len(waves[i]), step)]
+            chunks.append(sg.flush())
+            want = np.concatenate([c for c in chunks if len(c)], axis=0)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        server.close()

@@ -262,3 +262,52 @@ def test_session_fused_impl_matches_offline(cell):
         StreamingSession(params, cfg, z, impl="nope")
     with pytest.raises(ValueError, match="fused"):
         StreamingSession(params, _cfg(autoregressive=False), z, impl="fused")
+
+
+@pytest.mark.parametrize("impl", ["xla", "fused"])
+def test_execute_plans_matches_solo_sessions(impl):
+    """The multi-stream fast path: N sessions' plans run as ONE lockstep
+    call (+ inert pad rows) == each session running alone."""
+    from music2dance_tpu.infer.streaming import execute_plans
+
+    cfg = _cfg()
+    params, feats0, _, _ = _setup(cfg, t=12)
+    n = 3
+    streams = [np.asarray(jax.random.normal(
+        jax.random.key(40 + i), (1, 12, cfg.feature_dim))) for i in range(n)]
+    zs = [jax.random.normal(jax.random.key(60 + i), (1, cfg.noise_dim))
+          for i in range(n)]
+
+    solo = []
+    for fs, z in zip(streams, zs):
+        s = StreamingSession(params, cfg, z, impl=impl)
+        solo.append(np.concatenate(
+            [s.feed(fs[:, :6]), s.feed(fs[:, 6:]), s.flush()], axis=1))
+
+    batched_sessions = [StreamingSession(params, cfg, z, impl=impl)
+                        for z in zs]
+    outs = [[] for _ in range(n)]
+    for lo, hi in ((0, 6), (6, 12)):
+        plans = [s.plan_feed(fs[:, lo:hi])
+                 for s, fs in zip(batched_sessions, streams)]
+        assert all(p is not None and p.key() == plans[0].key()
+                   for p in plans)
+        results = execute_plans(params, cfg, plans, pad_to=4)  # 1 pad row
+        for s, p, (poses, carry), acc in zip(
+                batched_sessions, plans, results, outs):
+            acc.append(s.apply(p, poses, carry))
+    for s, acc in zip(batched_sessions, outs):
+        acc.append(s.flush())  # flush runs solo (rare, not coalesced)
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.concatenate(outs[i], axis=1), solo[i], rtol=1e-5, atol=1e-5)
+
+    # incompatible plans are rejected
+    from music2dance_tpu.infer.streaming import EmitPlan
+
+    s1 = StreamingSession(params, cfg, zs[0], impl=impl)
+    s2 = StreamingSession(params, cfg, zs[1], impl=impl)
+    p1 = s1.plan_feed(streams[0][:, :6])
+    p2 = s2.plan_feed(streams[1][:, :9])
+    with pytest.raises(ValueError, match="share key"):
+        execute_plans(params, cfg, [p1, p2])
