@@ -49,6 +49,10 @@ flags.DEFINE_float("stream_ttl", 120.0,
 flags.DEFINE_string("stream_stats", None,
                     "corpus frontend-stats JSON (preprocess.py "
                     "--stats_out); enables stats=frozen stream sessions")
+flags.DEFINE_float("stream_wait_ms", 5.0,
+                   "coalescing window: concurrent stream feeds arriving "
+                   "within this wait run as ONE lockstep device call "
+                   "(0 = solo dispatch per feed)")
 flags.mark_flag_as_required("ckpt")
 
 
@@ -69,6 +73,7 @@ def main(argv):
         max_seconds=FLAGS.max_seconds,
         max_streams=FLAGS.max_streams,
         stream_ttl_s=FLAGS.stream_ttl,
+        stream_wait_ms=FLAGS.stream_wait_ms,
     )
     stream_stats = None
     if FLAGS.stream_stats:
