@@ -118,37 +118,58 @@ class NpzClipSource(grain.sources.RandomAccessDataSource):
 
 
 class WavPoseSource(grain.sources.RandomAccessDataSource):
-    """Paired song.wav / song.{npy,json} files (poses at the feature
+    """Paired song.wav / song.{npy,json,bvh} files.
+
+    ``.npy``/``.json`` poses are taken as-is (already at the feature
     frame rate; .json is the self-describing poses-v1 layout from
-    infer/poses_io.py — SURVEY.md §2 C2/C7 name both formats).
+    infer/poses_io.py — SURVEY.md §2 C2/C7 name both formats). ``.bvh``
+    mocap files go through the from-scratch parser + forward kinematics
+    in data/bvh.py and are resampled from the mocap rate to ``pose_fps``
+    (pass the audio config's ``feature_rate``; required when any .bvh
+    clip is present, so pose frame p stays aligned with audio hop p).
 
     ``target_sr``: resample every song to this rate on load (librosa.load
     semantics — the reference corpus may mix 44.1 kHz and 22.05 kHz files).
+    ``bvh_joints``/``bvh_scale``: joint selection/ordering and unit scale
+    forwarded to :func:`data.bvh.load_bvh_poses`.
     """
 
-    def __init__(self, root: str, target_sr: Optional[int] = None):
+    def __init__(self, root: str, target_sr: Optional[int] = None,
+                 pose_fps: Optional[float] = None,
+                 bvh_joints: Optional[Sequence[str]] = None,
+                 bvh_scale: Optional[float] = None):
         from .wav import SUPPORTED_EXTENSIONS, load_wav
 
         self._load_wav = load_wav
         self._target_sr = target_sr
+        self._pose_fps = pose_fps
+        self._bvh_joints = bvh_joints
+        self._bvh_scale = bvh_scale
         wavs = sorted(f for f in os.listdir(root)
                       if f.endswith(SUPPORTED_EXTENSIONS))
         self._pairs = []
         for w in wavs:
             stem = os.path.splitext(w)[0]
-            for ext in (".npy", ".json"):
+            for ext in (".npy", ".json", ".bvh"):
                 p = os.path.join(root, stem + ext)
                 if os.path.exists(p):
                     self._pairs.append((os.path.join(root, w), p))
                     break
             else:
-                warnings.warn(f"{w}: no paired pose file {stem}.npy/.json, "
-                              "skipping")
+                warnings.warn(
+                    f"{w}: no paired pose file {stem}.npy/.json/.bvh, "
+                    "skipping")
         if not self._pairs:
             raise FileNotFoundError(
                 f"no paired audio ({'/'.join(SUPPORTED_EXTENSIONS)}) + "
-                f".npy/.json clips under {root}"
+                f".npy/.json/.bvh clips under {root}"
             )
+        if pose_fps is None and any(p.endswith(".bvh")
+                                    for _, p in self._pairs):
+            raise ValueError(
+                "corpus contains .bvh mocap files: pass "
+                "pose_fps=audio_config.feature_rate so the mocap rate is "
+                "resampled onto the audio hop grid")
 
     def __len__(self) -> int:
         return len(self._pairs)
@@ -158,7 +179,13 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
 
         wav_path, pose_path = self._pairs[idx]
         wave, _sr = self._load_wav(wav_path, target_sr=self._target_sr)
-        if pose_path.endswith(".json"):
+        if pose_path.endswith(".bvh"):
+            from .bvh import load_bvh_poses
+
+            pose = load_bvh_poses(
+                pose_path, fps_out=self._pose_fps,
+                joints=self._bvh_joints, scale=self._bvh_scale)
+        elif pose_path.endswith(".json"):
             pose = load_poses(pose_path)
         else:
             pose = np.load(pose_path).astype(np.float32)

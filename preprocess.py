@@ -12,7 +12,13 @@ from __future__ import annotations
 from absl import app, flags
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("data_dir", None, "directory of paired song.wav + song.npy poses")
+flags.DEFINE_string("data_dir", None,
+                    "directory of paired song.wav + song.{npy,json,bvh} poses")
+flags.DEFINE_list("bvh_joints", None,
+                  "joint names to select (in order) from .bvh pose files; "
+                  "default keeps every skeleton joint")
+flags.DEFINE_float("bvh_scale", None,
+                   "unit scale applied to .bvh joint positions")
 flags.DEFINE_bool("synthetic", False, "generate a synthetic corpus instead")
 flags.DEFINE_integer("synthetic_clips", 64, "synthetic corpus size")
 flags.DEFINE_float("synthetic_seconds", 6.0, "synthetic clip length")
@@ -35,7 +41,9 @@ def main(argv):
 
     audio = AudioConfig()
     if FLAGS.data_dir:
-        source = WavPoseSource(FLAGS.data_dir)
+        source = WavPoseSource(
+            FLAGS.data_dir, pose_fps=audio.feature_rate,
+            bvh_joints=FLAGS.bvh_joints, bvh_scale=FLAGS.bvh_scale)
     elif FLAGS.synthetic:
         source = SyntheticClipSource(
             FLAGS.synthetic_clips, FLAGS.synthetic_seconds, audio,
