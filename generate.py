@@ -17,8 +17,9 @@ flags.DEFINE_string("ckpt", None, "checkpoint directory (orbax bundle)")
 flags.DEFINE_string("wav", None, "input song (wav/flac/aiff/mp3/ogg/m4a)")
 flags.DEFINE_string("wav_dir", None, "directory of songs for batched decode")
 flags.DEFINE_string("out", "poses.npy", "output pose file [T, J, D] "
-                    "(.npy, or .json with fps/layout metadata)")
-flags.DEFINE_enum("pose_format", "npy", ["npy", "json"],
+                    "(.npy, .json with fps/layout metadata, or .bvh "
+                    "position-channel mocap for DCC import)")
+flags.DEFINE_enum("pose_format", "npy", ["npy", "json", "bvh"],
                   "per-song output format for --out_dir mode")
 flags.DEFINE_string("out_dir", "poses_out", "output directory for --wav_dir")
 flags.DEFINE_string("video", None, "render a stick-figure animation here (.mp4/.gif)")

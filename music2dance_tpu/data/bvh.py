@@ -261,6 +261,49 @@ def resample_poses(poses: np.ndarray, fps_in: float,
     return out.astype(np.float32)
 
 
+def save_bvh_poses(path: str, poses: np.ndarray, fps: float,
+                   names: Optional[Sequence[str]] = None) -> None:
+    """Write positional ``[T, J, 3]`` poses as a BVH file.
+
+    The framework's pose contract is positions, not rotations, so the
+    skeleton written here is the position-channel form BVH allows: a
+    root carrying joint 0's trajectory and every other joint a direct
+    child of the root whose position channels hold its root-relative
+    offset — forward kinematics reproduces the input positions exactly
+    (round-trip-tested against :func:`parse_bvh` +
+    :func:`bvh_joint_positions`). DCC tools (Blender et al.) import
+    this as translating bones, which is what generated dance data is.
+    """
+    poses = np.asarray(poses, np.float64)
+    if poses.ndim != 3 or poses.shape[2] != 3:
+        raise ValueError(f"poses must be [T, J, 3], got {poses.shape}")
+    if fps <= 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
+    t, j, _ = poses.shape
+    if names is None:
+        names = ["root"] + [f"joint{i}" for i in range(1, j)]
+    if len(names) != j:
+        raise ValueError(f"{len(names)} names for {j} joints")
+    lines = ["HIERARCHY", f"ROOT {names[0]}", "{", "  OFFSET 0 0 0",
+             "  CHANNELS 3 Xposition Yposition Zposition"]
+    for name in names[1:]:
+        lines += [f"  JOINT {name}", "  {", "    OFFSET 0 0 0",
+                  "    CHANNELS 3 Xposition Yposition Zposition",
+                  "    End Site", "    {", "      OFFSET 0 0 0", "    }",
+                  "  }"]
+    if j == 1:
+        lines += ["  End Site", "  {", "    OFFSET 0 0 0", "  }"]
+    lines += ["}", "MOTION", f"Frames: {t}",
+              f"Frame Time: {1.0 / fps:.8f}"]
+    rel = poses.copy()
+    rel[:, 1:] -= poses[:, :1]      # children are root-relative
+    flat = rel.reshape(t, j * 3)
+    for row in flat:
+        lines.append(" ".join(f"{v:.6f}" for v in row))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def load_bvh_poses(
     path: str,
     *,

@@ -15,10 +15,21 @@ import numpy as np
 
 
 def save_poses(path: str, poses: np.ndarray, fps: float | None = None) -> None:
-    """Write ``poses`` [T, J, D] as .npy or .json by extension."""
+    """Write ``poses`` [T, J, D] as .npy, .json, or .bvh by extension."""
     poses = np.asarray(poses, np.float32)
     if poses.ndim != 3:
         raise ValueError(f"poses must be [T, J, D], got {poses.shape}")
+    if path.endswith(".bvh"):
+        from ..data.bvh import save_bvh_poses
+
+        if fps is None:
+            raise ValueError(".bvh export needs fps (the MOTION block "
+                             "carries Frame Time)")
+        if poses.shape[2] != 3:
+            raise ValueError(f"BVH export needs 3-D joints, got "
+                             f"joint_dim={poses.shape[2]}")
+        save_bvh_poses(path, poses, fps=fps)
+        return
     if path.endswith(".json"):
         doc = {
             "format": "music2dance_tpu/poses-v1",
@@ -38,6 +49,10 @@ def save_poses(path: str, poses: np.ndarray, fps: float | None = None) -> None:
 
 def load_poses(path: str) -> np.ndarray:
     """Read a pose sequence written by :func:`save_poses`."""
+    if path.endswith(".bvh"):
+        from ..data.bvh import load_bvh_poses
+
+        return load_bvh_poses(path, center_root=False)
     if path.endswith(".json"):
         with open(path) as f:
             doc = json.load(f)

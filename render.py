@@ -14,7 +14,8 @@ from __future__ import annotations
 from absl import app, flags
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("poses", None, "pose file from generate.py (.npy/.json)")
+flags.DEFINE_string("poses", None,
+                    "pose file from generate.py (.npy/.json/.bvh)")
 flags.DEFINE_string("out", "dance.gif", "output animation (.mp4/.gif)")
 flags.DEFINE_float("fps", 0.0,
                    "frame rate; 0 = from the .json metadata, else 30")
@@ -38,6 +39,10 @@ def main(argv):
         if FLAGS.poses.endswith(".json"):
             with open(FLAGS.poses) as f:
                 fps = float(json.load(f).get("fps", 30.0))
+        elif FLAGS.poses.endswith(".bvh"):
+            from music2dance_tpu.data.bvh import parse_bvh
+
+            fps = parse_bvh(FLAGS.poses).fps
     render_pose_video(poses, FLAGS.out, fps=fps)
     print(f"{FLAGS.poses} ({poses.shape[0]} frames) -> {FLAGS.out} @ {fps:g} fps")
     if FLAGS.trajectories:

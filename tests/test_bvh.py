@@ -11,7 +11,7 @@ import pytest
 
 from music2dance_tpu.data.bvh import (BvhFile, bvh_joint_positions,
                                       load_bvh_poses, parse_bvh,
-                                      resample_poses)
+                                      resample_poses, save_bvh_poses)
 
 
 def _bvh(hierarchy: str, frames: list, frame_time: float = 0.05) -> str:
@@ -197,6 +197,39 @@ class TestLoadBvhPoses:
         p.write_text(_bvh(TWO_JOINT, [[0] * 9]))
         poses = load_bvh_poses(str(p), scale=0.01, center_root=False)
         np.testing.assert_allclose(poses[0, 1], [0, 0.03, 0], atol=1e-7)
+
+
+class TestExport:
+    def test_round_trip_through_own_parser(self, tmp_path):
+        rng = np.random.default_rng(3)
+        poses = rng.normal(size=(25, 23, 3)).astype(np.float32)
+        p = tmp_path / "out.bvh"
+        save_bvh_poses(str(p), poses, fps=30.0)
+        bvh = parse_bvh(str(p))
+        assert bvh.fps == pytest.approx(30.0, rel=1e-6)
+        _, back = bvh_joint_positions(bvh)
+        np.testing.assert_allclose(back, poses, atol=2e-6)
+
+    def test_single_joint(self, tmp_path):
+        poses = np.arange(9, dtype=np.float32).reshape(3, 1, 3)
+        p = tmp_path / "one.bvh"
+        save_bvh_poses(str(p), poses, fps=10.0)
+        _, back = bvh_joint_positions(parse_bvh(str(p)))
+        np.testing.assert_allclose(back, poses, atol=2e-6)
+
+    def test_save_poses_io_dispatch(self, tmp_path):
+        from music2dance_tpu.infer.poses_io import load_poses, save_poses
+
+        poses = np.random.default_rng(4).normal(
+            size=(8, 5, 3)).astype(np.float32)
+        p = str(tmp_path / "x.bvh")
+        save_poses(p, poses, fps=30.0)
+        np.testing.assert_allclose(load_poses(p), poses, atol=2e-6)
+        with pytest.raises(ValueError, match="fps"):
+            save_poses(str(tmp_path / "y.bvh"), poses)
+        with pytest.raises(ValueError, match="3-D"):
+            save_poses(str(tmp_path / "z.bvh"),
+                       np.zeros((4, 5, 2), np.float32), fps=30.0)
 
 
 class TestPipelineIntegration:
