@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 
+from ..data.augment import AugmentConfig
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -63,3 +65,9 @@ class TrainConfig:
     # configured, so the run is inspectable/resumable from just before the
     # blow-up instead of silently training on NaNs for hours.
     nan_guard: bool = True
+    # on-device pose augmentation of the REAL motion inside the jitted
+    # step (data/augment.py: rotation about the up axis, mirroring,
+    # scale jitter, coordinate noise) — all off by default; applies
+    # identically across input modes and under DP (per-example global-
+    # index keys), once per clip (before TBPTT windowing)
+    augment: AugmentConfig = AugmentConfig()

@@ -332,6 +332,16 @@ def make_train_step(
         feats = batch["feats"]
         b = feats.shape[0]
 
+        if tc.augment.enabled:
+            # real-pose augmentation, before the critic or any aux loss
+            # sees the batch; per-example global-index keys keep the
+            # sharded step equal to the single-device step
+            from ..data.augment import augment_poses
+
+            k_aug = per_example_keys(jax.random.fold_in(base, 0xA06), b)
+            batch = dict(batch, poses=augment_poses(
+                k_aug, batch["poses"], gan.generator.layout, tc.augment))
+
         # Dual generator pass: every fake of the step (n_critic forward-only
         # + 1 differentiable) in one fused kernel — the D updates between
         # phases never touch g_params, so the replicas are row-independent

@@ -72,6 +72,17 @@ flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
+flags.DEFINE_bool("aug_rotate", False, "augment real poses with a random "
+                  "rotation about the up axis (on device, per example)")
+flags.DEFINE_bool("aug_mirror", False, "augment real poses by mirroring "
+                  "(coordinate flip; add --aug_mirror_pairs for bilateral "
+                  "joint swaps)")
+flags.DEFINE_list("aug_mirror_pairs", None, "left/right joint index pairs "
+                  "for --aug_mirror as a:b pairs, e.g. 1:4,2:5,3:6")
+flags.DEFINE_float("aug_scale", 0.0, "augment real poses with uniform "
+                   "scale jitter s ~ U[1-a, 1+a] (0 = off)")
+flags.DEFINE_float("aug_noise", 0.0, "Gaussian noise std on real pose "
+                   "coordinates (0 = off)")
 
 
 def main(argv):
@@ -128,6 +139,19 @@ def main(argv):
         train_over["feature_matching_weight"] = FLAGS.feature_matching
     if FLAGS.grad_clip > 0:
         train_over["grad_clip_norm"] = FLAGS.grad_clip
+    if (FLAGS.aug_rotate or FLAGS.aug_mirror or FLAGS.aug_scale > 0
+            or FLAGS.aug_noise > 0):
+        from music2dance_tpu.data.augment import AugmentConfig
+
+        pairs = tuple(
+            tuple(int(i) for i in pair.split(":"))
+            for pair in (FLAGS.aug_mirror_pairs or ())
+        )
+        train_over["augment"] = AugmentConfig(
+            rotate=FLAGS.aug_rotate, mirror=FLAGS.aug_mirror,
+            mirror_pairs=pairs, scale_jitter=FLAGS.aug_scale,
+            noise_std=FLAGS.aug_noise,
+        )
     if train_over:
         import dataclasses
 
