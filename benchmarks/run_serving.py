@@ -120,6 +120,9 @@ def part_scaling():
     model = make_model()
     audio, gan = model.audio, model.gan
     t = audio.num_frames(audio.num_samples(180.0))
+    # B=512 at 180 s songs exceeds HBM (the hoisted [B, T, 3H] gi alone is
+    # ~17 GB; measured: 29.01G needed of 15.75G) — 256 is the ceiling at
+    # this song length; shorter songs can go wider
     for b in (64, 128, 256):
         feats = jax.random.normal(
             jax.random.key(3), (b, t, audio.n_features)

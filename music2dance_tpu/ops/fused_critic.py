@@ -110,7 +110,7 @@ def cast_critic_weights(weights: tuple, cfg: DiscriminatorConfig) -> tuple:
 
 from .cell_math import cell_step as _cell_step  # noqa: E402
 from .cell_math import gate_cotangents as _cell_cots  # noqa: E402
-from .cell_math import gate_factor, state_slots  # noqa: E402
+from .cell_math import fit_tb, gate_factor, state_slots  # noqa: E402
 from .gru_math import gru_gates as _gru_gates  # noqa: E402  (shared algebra)
 from .gru_math import pack_gates as _pack_gates  # noqa: E402
 
@@ -208,7 +208,7 @@ def critic_scan_forward(
     h0: jax.Array,      # [S*L, B, H] stacked state (h rows, then c rows)
     weights: tuple,     # extract_critic_weights order (uncast)
     cfg: DiscriminatorConfig,
-    tb: int = 8,
+    tb: int | None = None,   # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """Returns (htop [T,B,H], hprev [T,S*L,B,H], gates [T,L,B,4H],
@@ -219,6 +219,8 @@ def critic_scan_forward(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, b, ghg = gi_tm.shape
+    if tb is None:
+        tb = fit_tb(8, b)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers
@@ -343,7 +345,7 @@ def critic_cotangent_chain(
     gates: jax.Array,    # [T, L, B, 4H] saved gate streams (K1)
     weights: tuple,      # uncast
     cfg: DiscriminatorConfig,
-    tb: int = 8,
+    tb: int | None = None,   # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """Returns (a_in [T,S*L,B,H], dh0 [S*L,B,H]): incoming state cotangents
@@ -353,6 +355,8 @@ def critic_cotangent_chain(
         interpret = jax.default_backend() != "tpu"
     t = gcot_tm.shape[0]
     b = gcot_tm.shape[1]
+    if tb is None:
+        tb = fit_tb(8, b)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
@@ -560,14 +564,16 @@ def fused_critic_apply(
     feats: jax.Array | None,
     carry=None,
     return_carry: bool = False,
-    tb: int = 8,
+    tb: int | None = None,   # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """Drop-in for Discriminator.apply (recurrent critics): score [B]."""
-    from .cell_math import stack_rnn_carry, unstack_rnn_carry
+    from .cell_math import fit_tb, stack_rnn_carry, unstack_rnn_carry
 
     params = variables.get("params", variables)
     b, t = poses.shape[:2]
+    if tb is None:
+        tb = fit_tb(8, b)   # make_fused_critic_scan closes over tb
     gi = compute_critic_gi(params, cfg, poses, feats)       # [B, T, G*H]
     gi_tm = jnp.swapaxes(gi, 0, 1)
     sl = state_slots(cfg.cell) * cfg.rnn_layers

@@ -67,7 +67,8 @@ from .fused_gp import (
     tangent_panel_grads,
 )
 from .cell_math import cell_step as _cell_step
-from .cell_math import stack_rnn_carry, state_slots, unstack_rnn_carry
+from .cell_math import (fit_tb, stack_rnn_carry, state_slots,
+                        unstack_rnn_carry)
 
 
 def supports_d_core(cfg: DiscriminatorConfig, b: int,
@@ -325,7 +326,7 @@ def fused_d_phase(
     feats,                    # [B, T, F] or None (unconditional critic)
     carries: tuple | None = None,   # (real_carry, fake_carry) [L,B,H] or None
     return_carries: bool = False,
-    tb: int = 8,
+    tb: int | None = None,          # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """The whole critic-phase loss core around one merged forward pass.
@@ -341,6 +342,8 @@ def fused_d_phase(
 
     params = d_params.get("params", d_params)
     b, t = real.shape[:2]
+    if tb is None:
+        tb = fit_tb(8, 2 * b)   # the widest block rides the 2B rf rows
     x_rf = jnp.concatenate([real, fake], axis=0)
     f_rf = None if feats is None else jnp.concatenate([feats] * 2, axis=0)
 

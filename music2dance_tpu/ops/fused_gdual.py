@@ -150,7 +150,7 @@ def dual_generator_forward(
     prev0: jax.Array,     # [Bf+Bd, P]
     weights: tuple,
     cfg: GeneratorConfig,
-    tb: int = 4,
+    tb: int | None = None,   # None: fit to total rows (cell_math.fit_tb)
     interpret: bool | None = None,
     save_acts: bool = False,
 ):
@@ -161,6 +161,10 @@ def dual_generator_forward(
         interpret = jax.default_backend() != "tpu"
     bf, t = gi_fwd.shape[:2]
     bd = gi_diff.shape[0]
+    if tb is None:
+        from .cell_math import fit_tb
+
+        tb = fit_tb(4, bf + bd)
     if not supports_dual(cfg, bf, interpret):
         raise ValueError("config/shape not supported by the dual generator kernel")
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
@@ -356,7 +360,7 @@ def fused_dual_apply(
     feats: jax.Array,
     zs_fwd,                 # sequence of [B, noise_dim] noise draws (critic phases)
     z_diff: jax.Array,      # [B, noise_dim] noise draw (generator phase)
-    tb: int = 4,
+    tb: int | None = None,  # None: fit to total rows (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """All of one train step's fake batches in one fused forward.
@@ -377,6 +381,10 @@ def fused_dual_apply(
     gi_diff = gis[n_fwd]
 
     bt = (n_fwd + 1) * b
+    if tb is None:
+        from .cell_math import fit_tb
+
+        tb = fit_tb(4, bt)   # make_dual_scan closes over tb
     sl = state_slots(cfg.cell) * cfg.rnn_layers
     h0 = jnp.zeros((sl, bt, cfg.hidden_dim), jnp.float32)
     prev0 = jnp.zeros((bt, cfg.pose_dim), jnp.float32)

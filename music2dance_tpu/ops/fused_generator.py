@@ -208,7 +208,7 @@ def fused_generator_forward(
     prev0: jax.Array,       # [B, P]
     weights: tuple,         # extract_step_weights order
     cfg: GeneratorConfig,
-    tb: int = 4,
+    tb: int | None = None,  # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
     save_acts: bool = False,
 ):
@@ -225,6 +225,10 @@ def fused_generator_forward(
         raise ValueError("config not supported by the fused generator kernel")
 
     b, t, ghg = gi_static.shape
+    if tb is None:
+        from .cell_math import fit_tb
+
+        tb = fit_tb(4, b)
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers
@@ -336,7 +340,7 @@ def fused_apply(
     z: jax.Array,
     carry=None,
     return_carry: bool = False,
-    tb: int = 4,
+    tb: int | None = None,   # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """Fused-kernel equivalent of Generator.apply (forward).

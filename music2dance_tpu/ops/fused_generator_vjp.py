@@ -324,7 +324,7 @@ def fused_apply_diff(
     z: jax.Array,
     carry=None,
     return_carry: bool = False,
-    tb: int = 4,
+    tb: int | None = None,   # None: fit to batch (cell_math.fit_tb)
     interpret: bool | None = None,
 ):
     """Differentiable fused forward: gradients flow to params, feats, z.
@@ -338,6 +338,10 @@ def fused_apply_diff(
 
     params = variables.get("params", variables)
     b = feats.shape[0]
+    if tb is None:
+        from .cell_math import fit_tb
+
+        tb = fit_tb(4, b)   # make_fused_scan closes over tb
     gi = compute_gi_static(params, cfg, feats, z)
     if carry is None:
         sl = state_slots(cfg.cell) * cfg.rnn_layers

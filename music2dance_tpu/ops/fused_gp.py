@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.configs import DiscriminatorConfig
 from .cell_math import gate_cotangents as _cell_cots
-from .cell_math import gate_factor, state_slots
+from .cell_math import fit_tb, gate_factor, state_slots
 from .cell_math import state_tangent_new as _state_tan_new
 from .cell_math import tangent_cotangents as _cell_tan_cots
 from .cell_math import tangent_gates as _cell_tan_gates
@@ -143,12 +143,16 @@ def _tan_fwd_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
     jax.lax.fori_loop(0, tb, step, 0)
 
 
-def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=8, interpret=None):
+def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=None,
+                    interpret=None):
     """Returns (hdotprev [T,S*L,B,H], tgates [T,L,B,4H], hdottop [T,B,H])
-    for the input tangent ġi = u."""
+    for the input tangent ġi = u. ``tb=None`` fits the time block to the
+    batch (cell_math.fit_tb)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, b, _ = u_tm.shape
+    if tb is None:
+        tb = fit_tb(8, b)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers
@@ -262,13 +266,16 @@ def _tan_cot_kernel(*refs, cfg: DiscriminatorConfig, tb: int, t_total: int,
 
 
 def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
-                            tb=8, interpret=None):
+                            tb=None, interpret=None):
     """Returns adot_in [T,S*L,B,H]: tangents of the incoming state
-    cotangents (h rows first, then the LSTM cell-cotangent rows)."""
+    cotangents (h rows first, then the LSTM cell-cotangent rows).
+    ``tb=None`` fits the time block to the batch (cell_math.fit_tb)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t = a_in.shape[0]
     b = a_in.shape[2]
+    if tb is None:
+        tb = fit_tb(8, b)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
@@ -369,7 +376,8 @@ def tangent_panel_grads(a_in, adot_in, gates, tgates, hprev, hdotprev,
 # ---------------------------------------------------------------------------
 
 def fused_gradient_penalty(d_params, cfg: DiscriminatorConfig, x_hat, feats,
-                           tb: int = 8, interpret: bool | None = None):
+                           tb: int | None = None,
+                           interpret: bool | None = None):
     """WGAN-GP via the fused second-order op: gp = mean((‖∇_x D(x̂)‖-1)²).
 
     Drop-in for train/losses.gradient_penalty on recurrent critics (zero
@@ -380,6 +388,8 @@ def fused_gradient_penalty(d_params, cfg: DiscriminatorConfig, x_hat, feats,
 
     params = d_params.get("params", d_params)
     b, t = x_hat.shape[:2]
+    if tb is None:
+        tb = fit_tb(8, b)   # make_scan_input_grad closes over tb
 
     def hoisted(xh):
         gi = compute_critic_gi(params, cfg, xh, feats)

@@ -186,3 +186,19 @@ def test_carry_stacking_round_trip(cell):
     else:
         np.testing.assert_array_equal(back[0], hs)
         np.testing.assert_array_equal(back[1], cs)
+
+
+def test_fit_tb_preserves_headline_defaults_and_halves_at_scale():
+    from music2dance_tpu.ops.cell_math import fit_tb
+
+    # headline-scale batches: the resolved tb IS the old fixed default,
+    # so the adaptive policy cannot change any existing compiled program
+    assert fit_tb(8, 2 * 32) == 8      # dcore rf rows at B=32
+    assert fit_tb(8, 2 * 64) == 8      # ... at B=64 (measured-good)
+    assert fit_tb(4, 96) == 4          # dual rows at B=32, n_critic=2
+    assert fit_tb(4, 256) == 4         # decode at B=256 (measured-good)
+    # past the envelope: halve until tb*rows <= 1024
+    assert fit_tb(8, 2 * 128) == 4     # the B=128 scoped-VMEM OOM case
+    assert fit_tb(8, 2 * 256) == 2
+    assert fit_tb(4, 512) == 2
+    assert fit_tb(8, 100_000) == 1     # never below 1
