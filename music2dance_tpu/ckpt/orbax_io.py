@@ -57,7 +57,18 @@ def configs_from_json(text: str) -> tuple[GANConfig, AudioConfig, TrainConfig]:
     gan = GANConfig(
         generator=GeneratorConfig(**g), discriminator=DiscriminatorConfig(**d)
     )
-    return gan, AudioConfig(**blob["audio"]), TrainConfig(**blob["train"])
+    t = dict(blob["train"])
+    if isinstance(t.get("augment"), dict):
+        # nested frozen dataclass: rebuild like layout above (JSON turned
+        # the pair tuples into lists; absent in pre-augment checkpoints)
+        from ..data.augment import AugmentConfig
+
+        aug = dict(t["augment"])
+        aug["mirror_pairs"] = tuple(
+            tuple(int(i) for i in p) for p in aug.get("mirror_pairs", ())
+        )
+        t["augment"] = AugmentConfig(**aug)
+    return gan, AudioConfig(**blob["audio"]), TrainConfig(**t)
 
 
 def _pack_state(state: TrainState):

@@ -76,11 +76,30 @@ class AugmentConfig:
             raise ValueError(
                 f"scale_jitter must be in [0, 1), got {self.scale_jitter}")
         for pair in self.mirror_pairs:
+            if len(pair) != 2:
+                raise ValueError(
+                    f"mirror_pairs entries must be (left, right) index "
+                    f"pairs, got {pair!r}")
             for idx in pair:
                 if not 0 <= idx < layout.n_joints:
                     raise ValueError(
                         f"mirror pair {pair} out of range for "
                         f"{layout.n_joints} joints")
+
+
+# key-domain tag for the augmentation draw inside the train step — shared
+# by train/step.py and train/tbptt.py so both paths derive identical
+# per-example keys (pinned by tests/test_augment.py's TBPTT exactness test)
+AUG_KEY_TAG = 0xA06
+
+
+def augment_real_batch(base_key, per_example_keys, b: int, poses, layout,
+                       cfg: AugmentConfig):
+    """The train-step entry: derive the per-example keys from the step's
+    base key (global batch index via ``per_example_keys`` — the sharded
+    step equals the single-device step) and augment the real poses."""
+    keys = per_example_keys(jax.random.fold_in(base_key, AUG_KEY_TAG), b)
+    return augment_poses(keys, poses, layout, cfg)
 
 
 def _mirror_permutation(cfg: AugmentConfig, n_joints: int):

@@ -340,6 +340,14 @@ def load_bvh_poses(
             raise ValueError(
                 f"{os.path.basename(path)}: joint(s) {missing} not in the "
                 f"skeleton; available: {names}")
+        dupes = sorted({n for n in joints
+                        if n in index and names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"{os.path.basename(path)}: joint name(s) {dupes} appear "
+                f"more than once in the skeleton — selection by name is "
+                f"ambiguous (DCC exports sometimes duplicate names); "
+                f"rename the joints or select by slicing the full array")
         positions = positions[:, [index[n] for n in joints]]
     if scale is not None:
         positions = positions * np.float32(scale)

@@ -44,20 +44,23 @@ from .gru_math import gate_cotangents as _gru_gate_cotangents
 from .gru_math import gru_gates as _gru_gates
 
 
-def fit_tb(default: int, rows: int, cap: int = 1024) -> int:
-    """Time-block size that keeps scoped VMEM bounded at large batch.
+def fit_tb(default: int, rows: int, hidden: int = 512) -> int:
+    """Time-block size that keeps scoped VMEM bounded at large shapes.
 
     Every chain kernel's per-grid-step footprint scales with
-    ``tb * rows`` (block shapes are [tb, rows, width]); tb anywhere in
-    2..32 is perf-neutral (benchmarks/run_tb_kernels.py), so halve it as
-    the row count grows. The cap is measured, not derived: the merged
-    d-core at tb=8 x 2B=128 rows (batch 64) compiles, while tb=8 x
-    2B=256 (batch 128) overflows the 64 MB scoped-vmem limit by 1.07 MB
-    — tb*rows <= 1024 keeps the worst kernel at the known-good
-    footprint. Returns ``default`` unchanged for headline-scale batches.
+    ``tb * rows * hidden`` (block shapes are [tb, rows, k*hidden]); tb
+    anywhere in 2..32 is perf-neutral (benchmarks/run_tb_kernels.py), so
+    halve it as the footprint grows. The envelope is measured, not
+    derived: at hidden 512 the merged d-core at tb=8 x 2B=128 rows
+    (batch 64) compiles, while tb=8 x 2B=256 (batch 128) overflows the
+    64 MB scoped-vmem limit by 1.07 MB — tb*rows <= 1024 at that width
+    keeps the worst kernel at the known-good footprint, and the cap
+    scales inversely with ``hidden`` so wider models shrink tb the same
+    way bigger batches do. Returns ``default`` unchanged for
+    headline-scale shapes.
     """
     tb = default
-    while tb > 1 and tb * rows > cap:
+    while tb > 1 and tb * rows * hidden > 1024 * 512:
         tb //= 2
     return tb
 

@@ -220,7 +220,7 @@ def critic_scan_forward(
         interpret = jax.default_backend() != "tpu"
     t, b, ghg = gi_tm.shape
     if tb is None:
-        tb = fit_tb(8, b)
+        tb = fit_tb(8, b, cfg.hidden_dim)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers
@@ -356,7 +356,7 @@ def critic_cotangent_chain(
     t = gcot_tm.shape[0]
     b = gcot_tm.shape[1]
     if tb is None:
-        tb = fit_tb(8, b)
+        tb = fit_tb(8, b, cfg.hidden_dim)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
@@ -573,7 +573,7 @@ def fused_critic_apply(
     params = variables.get("params", variables)
     b, t = poses.shape[:2]
     if tb is None:
-        tb = fit_tb(8, b)   # make_fused_critic_scan closes over tb
+        tb = fit_tb(8, b, cfg.hidden_dim)  # scan closes over tb
     gi = compute_critic_gi(params, cfg, poses, feats)       # [B, T, G*H]
     gi_tm = jnp.swapaxes(gi, 0, 1)
     sl = state_slots(cfg.cell) * cfg.rnn_layers

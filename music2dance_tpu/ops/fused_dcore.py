@@ -343,7 +343,7 @@ def fused_d_phase(
     params = d_params.get("params", d_params)
     b, t = real.shape[:2]
     if tb is None:
-        tb = fit_tb(8, 2 * b)   # the widest block rides the 2B rf rows
+        tb = fit_tb(8, 2 * b, cfg.hidden_dim)  # widest block: 2B rf rows
     x_rf = jnp.concatenate([real, fake], axis=0)
     f_rf = None if feats is None else jnp.concatenate([feats] * 2, axis=0)
 

@@ -164,7 +164,7 @@ def dual_generator_forward(
     if tb is None:
         from .cell_math import fit_tb
 
-        tb = fit_tb(4, bf + bd)
+        tb = fit_tb(4, bf + bd, cfg.hidden_dim)
     if not supports_dual(cfg, bf, interpret):
         raise ValueError("config/shape not supported by the dual generator kernel")
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
@@ -384,7 +384,7 @@ def fused_dual_apply(
     if tb is None:
         from .cell_math import fit_tb
 
-        tb = fit_tb(4, bt)   # make_dual_scan closes over tb
+        tb = fit_tb(4, bt, cfg.hidden_dim)  # make_dual_scan closes over tb
     sl = state_slots(cfg.cell) * cfg.rnn_layers
     h0 = jnp.zeros((sl, bt, cfg.hidden_dim), jnp.float32)
     prev0 = jnp.zeros((bt, cfg.pose_dim), jnp.float32)

@@ -228,7 +228,7 @@ def fused_generator_forward(
     if tb is None:
         from .cell_math import fit_tb
 
-        tb = fit_tb(4, b)
+        tb = fit_tb(4, b, cfg.hidden_dim)
     hidden, layers, p_dim = cfg.hidden_dim, cfg.rnn_layers, cfg.pose_dim
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers

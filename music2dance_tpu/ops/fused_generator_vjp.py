@@ -341,7 +341,7 @@ def fused_apply_diff(
     if tb is None:
         from .cell_math import fit_tb
 
-        tb = fit_tb(4, b)   # make_fused_scan closes over tb
+        tb = fit_tb(4, b, cfg.hidden_dim)  # make_fused_scan closes over tb
     gi = compute_gi_static(params, cfg, feats, z)
     if carry is None:
         sl = state_slots(cfg.cell) * cfg.rnn_layers

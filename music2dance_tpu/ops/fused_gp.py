@@ -152,7 +152,7 @@ def tangent_forward(u_tm, hprev, gates, weights, cfg, tb=None,
         interpret = jax.default_backend() != "tpu"
     t, b, _ = u_tm.shape
     if tb is None:
-        tb = fit_tb(8, b)
+        tb = fit_tb(8, b, cfg.hidden_dim)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     g = gate_factor(cfg.cell)
     sl = state_slots(cfg.cell) * layers
@@ -275,7 +275,7 @@ def tangent_cotangent_chain(hprev, hdotprev, gates, tgates, a_in, weights, cfg,
     t = a_in.shape[0]
     b = a_in.shape[2]
     if tb is None:
-        tb = fit_tb(8, b)
+        tb = fit_tb(8, b, cfg.hidden_dim)
     hidden, layers = cfg.hidden_dim, cfg.rnn_layers
     sl = state_slots(cfg.cell) * layers
     n_blocks = pl.cdiv(t, tb)  # uneven trailing block; masking in-kernel
@@ -389,7 +389,7 @@ def fused_gradient_penalty(d_params, cfg: DiscriminatorConfig, x_hat, feats,
     params = d_params.get("params", d_params)
     b, t = x_hat.shape[:2]
     if tb is None:
-        tb = fit_tb(8, b)   # make_scan_input_grad closes over tb
+        tb = fit_tb(8, b, cfg.hidden_dim)  # op closes over tb
 
     def hoisted(xh):
         gi = compute_critic_gi(params, cfg, xh, feats)

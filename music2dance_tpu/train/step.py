@@ -334,13 +334,12 @@ def make_train_step(
 
         if tc.augment.enabled:
             # real-pose augmentation, before the critic or any aux loss
-            # sees the batch; per-example global-index keys keep the
-            # sharded step equal to the single-device step
-            from ..data.augment import augment_poses
+            # sees the batch
+            from ..data.augment import augment_real_batch
 
-            k_aug = per_example_keys(jax.random.fold_in(base, 0xA06), b)
-            batch = dict(batch, poses=augment_poses(
-                k_aug, batch["poses"], gan.generator.layout, tc.augment))
+            batch = dict(batch, poses=augment_real_batch(
+                base, per_example_keys, b, batch["poses"],
+                gan.generator.layout, tc.augment))
 
         # Dual generator pass: every fake of the step (n_critic forward-only
         # + 1 differentiable) in one fused kernel — the D updates between

@@ -277,11 +277,10 @@ def make_tbptt_machinery(
         if tc.augment.enabled:
             # whole-clip augmentation BEFORE windowing: every TBPTT window
             # of a clip sees the same rotation/mirror/scale draw
-            from ..data.augment import augment_poses
+            from ..data.augment import augment_real_batch
 
-            k_aug = per_example_keys(jax.random.fold_in(base, 0xA06), b)
-            poses = augment_poses(k_aug, poses, gan.generator.layout,
-                                  tc.augment)
+            poses = augment_real_batch(base, per_example_keys, b, poses,
+                                       gan.generator.layout, tc.augment)
 
         feats_w = feats.reshape(b, n_win, w, -1).transpose(1, 0, 2, 3)
         poses_w = poses.reshape(b, n_win, w, -1).transpose(1, 0, 2, 3)

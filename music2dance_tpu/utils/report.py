@@ -76,6 +76,8 @@ def load_metrics(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 def _smooth(vals: np.ndarray, weight: float) -> np.ndarray:
     """Debiased EMA smoothing (TensorBoard's convention)."""
+    if not 0.0 <= weight < 1.0:
+        raise ValueError(f"smooth weight must be in [0, 1), got {weight}")
     if weight <= 0.0 or len(vals) < 2:
         return vals
     out = np.empty_like(vals)

@@ -32,17 +32,22 @@ def main(argv):
     from music2dance_tpu.utils.visualize import (plot_pose_trajectories,
                                                  render_pose_video)
 
-    poses = load_poses(FLAGS.poses)
     fps = FLAGS.fps
-    if fps <= 0:
-        fps = 30.0
-        if FLAGS.poses.endswith(".json"):
-            with open(FLAGS.poses) as f:
-                fps = float(json.load(f).get("fps", 30.0))
-        elif FLAGS.poses.endswith(".bvh"):
-            from music2dance_tpu.data.bvh import parse_bvh
+    if FLAGS.poses.endswith(".bvh"):
+        # one parse serves both the poses and the frame rate
+        from music2dance_tpu.data.bvh import bvh_joint_positions, parse_bvh
 
-            fps = parse_bvh(FLAGS.poses).fps
+        bvh = parse_bvh(FLAGS.poses)
+        _, poses = bvh_joint_positions(bvh)
+        if fps <= 0:
+            fps = bvh.fps
+    else:
+        poses = load_poses(FLAGS.poses)
+        if fps <= 0:
+            fps = 30.0
+            if FLAGS.poses.endswith(".json"):
+                with open(FLAGS.poses) as f:
+                    fps = float(json.load(f).get("fps", 30.0))
     render_pose_video(poses, FLAGS.out, fps=fps)
     print(f"{FLAGS.poses} ({poses.shape[0]} frames) -> {FLAGS.out} @ {fps:g} fps")
     if FLAGS.trajectories:

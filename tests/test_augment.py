@@ -224,3 +224,51 @@ class TestStepIntegration:
         for k in ("d_loss", "g_loss", "gp"):
             assert float(m_single[k]) == pytest.approx(
                 float(m_shard[k]), rel=2e-3, abs=5e-5), k
+
+
+class TestReviewFixes:
+    def test_mirror_pairs_must_be_pairs(self):
+        with pytest.raises(ValueError, match="pairs"):
+            AugmentConfig(mirror=True,
+                          mirror_pairs=((1, 2, 3),)).validate(LAYOUT)
+        with pytest.raises(ValueError, match="pairs"):
+            AugmentConfig(mirror=True, mirror_pairs=((1,),)).validate(LAYOUT)
+
+    def test_configs_json_round_trips_augment(self):
+        """configs.json is the self-describing restore contract: the
+        nested AugmentConfig must come back as a dataclass, not a dict
+        (found in review: make_train_step on a restored TrainConfig
+        raised AttributeError on .enabled)."""
+        from music2dance_tpu.audio import AudioConfig
+        from music2dance_tpu.ckpt.orbax_io import (configs_from_json,
+                                                   configs_to_json)
+        from music2dance_tpu.models import tiny_gan
+        from music2dance_tpu.train import TrainConfig
+
+        aug = AugmentConfig(rotate=True, mirror=True,
+                            mirror_pairs=((1, 2), (3, 4)),
+                            scale_jitter=0.1)
+        tc = TrainConfig(batch_size=4, augment=aug)
+        text = configs_to_json(tiny_gan(), AudioConfig(), tc)
+        _, _, tc2 = configs_from_json(text)
+        assert isinstance(tc2.augment, AugmentConfig)
+        assert tc2.augment == aug          # incl. tuple-of-tuples pairs
+        assert tc2.augment.enabled
+
+    def test_configs_json_without_augment_key_defaults(self):
+        """Pre-augment checkpoints (no 'augment' in configs.json) restore
+        with the default (disabled) AugmentConfig."""
+        import json as _json
+
+        from music2dance_tpu.audio import AudioConfig
+        from music2dance_tpu.ckpt.orbax_io import (configs_from_json,
+                                                   configs_to_json)
+        from music2dance_tpu.models import tiny_gan
+        from music2dance_tpu.train import TrainConfig
+
+        blob = _json.loads(
+            configs_to_json(tiny_gan(), AudioConfig(), TrainConfig()))
+        del blob["train"]["augment"]
+        _, _, tc = configs_from_json(_json.dumps(blob))
+        assert isinstance(tc.augment, AugmentConfig)
+        assert not tc.augment.enabled

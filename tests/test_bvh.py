@@ -262,3 +262,14 @@ class TestPipelineIntegration:
         self._write_corpus(tmp_path)
         with pytest.raises(ValueError, match="pose_fps"):
             WavPoseSource(str(tmp_path))
+
+
+def test_duplicate_joint_name_selection_raises(tmp_path):
+    dup = TWO_JOINT.replace("JOINT Chest", "JOINT Hips")
+    p = tmp_path / "dup.bvh"
+    p.write_text(_bvh(dup, [[0] * 9]))
+    with pytest.raises(ValueError, match="more than once"):
+        load_bvh_poses(str(p), joints=["Hips"])
+    # unambiguous selection on the same file still works
+    poses = load_bvh_poses(str(p), center_root=False)
+    assert poses.shape[1] == 2

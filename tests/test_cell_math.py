@@ -202,3 +202,7 @@ def test_fit_tb_preserves_headline_defaults_and_halves_at_scale():
     assert fit_tb(8, 2 * 256) == 2
     assert fit_tb(4, 512) == 2
     assert fit_tb(8, 100_000) == 1     # never below 1
+    # width-aware: a 2x-wider model shrinks tb like a 2x batch would
+    assert fit_tb(8, 2 * 64, hidden=512) == 8
+    assert fit_tb(8, 2 * 64, hidden=1024) == 4
+    assert fit_tb(8, 2 * 32, hidden=2048) == 4

@@ -137,3 +137,10 @@ class TestCli:
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.exists(out)
         assert "panels" in r.stdout
+
+
+def test_smooth_weight_out_of_domain_raises():
+    with pytest.raises(ValueError, match="smooth weight"):
+        _smooth(np.arange(5.0), 1.0)
+    with pytest.raises(ValueError, match="smooth weight"):
+        _smooth(np.arange(5.0), -0.1)
