@@ -2,7 +2,8 @@
 
 from .decode import decode_poses, jit_decoder, streaming_decode_step
 from .api import Music2DanceModel
-from .serving import BatchingEngine, InferenceServer, ServingConfig
+from .serving import (BatchingEngine, CheckpointWatcher, InferenceServer,
+                      ServingConfig)
 from .export import ExportedDecoder, export_decoder
 from .poses_io import load_poses, save_poses
 from .streaming import (
@@ -14,7 +15,8 @@ from .streaming import (
 
 __all__ = [
     "decode_poses", "jit_decoder", "streaming_decode_step", "Music2DanceModel",
-    "BatchingEngine", "InferenceServer", "ServingConfig",
+    "BatchingEngine", "CheckpointWatcher", "InferenceServer",
+    "ServingConfig",
     "ExportedDecoder", "export_decoder", "load_poses", "save_poses",
     "FrontendStats", "StreamingFeatureExtractor", "StreamingGenerator",
     "StreamingSession",

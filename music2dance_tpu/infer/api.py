@@ -39,6 +39,30 @@ class Music2DanceModel:
         g = state.ema_g_params if getattr(state, "ema_g_params", None) is not None else state.g_params
         return cls(gan, audio, g, seed=seed)
 
+    def reload_from_checkpoint(self, path: str,
+                               step: "int | str | None" = None) -> int:
+        """Swap the generator weights from a (possibly newer) checkpoint.
+
+        The architecture must match (the decode programs are compiled
+        for these shapes); a mismatch raises instead of serving garbage.
+        The swap is one attribute assignment — params are jit ARGUMENTS,
+        so every subsequent decode picks them up with zero recompilation
+        (in-flight batches finish on the old weights). Returns the loaded
+        step. Serving-side hot reload: ``serving.CheckpointWatcher``.
+        """
+        from ..ckpt.orbax_io import restore_bundle
+
+        gan, audio, state = restore_bundle(path, step=step)
+        if gan != self.gan or audio != self.audio:
+            raise ValueError(
+                "checkpoint architecture/audio config differs from the "
+                "serving model — start a new process for a new architecture")
+        g = (state.ema_g_params
+             if getattr(state, "ema_g_params", None) is not None
+             else state.g_params)
+        self.g_params = g
+        return int(state.step)
+
     def generate(self, waveform: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         """[L] waveform (float, or raw PCM16 int16) -> [T, n_joints,
         joint_dim] pose sequence."""

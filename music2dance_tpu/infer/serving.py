@@ -397,6 +397,20 @@ class _StreamRegistry:
                              cfg.stream_wait_ms, cfg.max_streams)
             if cfg.stream_wait_ms > 0 else None)
 
+    def swap_params(self, g_params) -> None:
+        """Hot-reload entry (CheckpointWatcher): point the coalescer and
+        every OPEN session at the new generator weights. Sessions capture
+        params at creation; without this, a coalesced feed and a solo
+        feed of the same pre-reload session would decode with different
+        weights. Open streams change style mid-dance (the recurrent carry
+        is kept) — the documented reload semantics."""
+        params = g_params.get("params", g_params)
+        with self._lock:
+            if self._coalescer is not None:
+                self._coalescer._params = g_params
+            for entry in self._sessions.values():
+                entry["gen"].session._params = params
+
     def _evict_locked(self, now: float):
         dead = [k for k, s in self._sessions.items()
                 if now - s["last_used"] > self._cfg.stream_ttl_s]
@@ -518,6 +532,84 @@ class _StreamRegistry:
         return count
 
 
+class CheckpointWatcher:
+    """Hot checkpoint reload: serve a training run's weights as it trains.
+
+    Polls a checkpoint directory and swaps the model's generator params
+    when a newer checkpoint appears — the production pattern is training
+    with ``--eval_every`` (the writer maintains the best-by-eval slot)
+    and serving with ``step_selector="best"``: the server always answers
+    with the best weights so far, with zero restarts and zero
+    recompilation (params are jit arguments; the swap is one attribute
+    assignment, picked up by the next batch). ``step_selector="latest"``
+    follows the newest step instead.
+
+    Transient restore failures (e.g. a poll racing the async writer) are
+    recorded in ``last_error`` and retried next poll — the watcher never
+    kills the server. An architecture change in the directory raises
+    inside the poll and is likewise surfaced, not served.
+    """
+
+    def __init__(self, model: Music2DanceModel, ckpt_dir: str,
+                 step_selector: str = "best", poll_s: float = 10.0,
+                 registry: "_StreamRegistry | None" = None,
+                 initial_step: "int | None" = None,
+                 start: bool = True):
+        if step_selector not in ("best", "latest"):
+            raise ValueError(
+                f"step_selector must be best|latest, got {step_selector!r}")
+        self._model = model
+        self._dir = ckpt_dir
+        self._sel = step_selector
+        self._poll = poll_s
+        self._registry = registry
+        self.loaded_step = initial_step
+        self.reloads = 0
+        self.last_error: "str | None" = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="m2d-ckpt-watcher", daemon=True)
+        if start:
+            self._thread.start()
+
+    def _target_step(self) -> "int | None":
+        from ..ckpt.orbax_io import best_step_info, checkpoint_steps
+
+        if self._sel == "best":
+            info = best_step_info(self._dir)
+            return None if info is None else int(info["step"])
+        steps = checkpoint_steps(self._dir)
+        return steps[-1] if steps else None
+
+    def check_once(self) -> bool:
+        """One poll: reload if a newer target exists. Returns True on a
+        completed swap."""
+        try:
+            target = self._target_step()
+            if target is None or target == self.loaded_step:
+                return False
+            sel = "best" if self._sel == "best" else target
+            self._model.reload_from_checkpoint(self._dir, step=sel)
+            if self._registry is not None:
+                self._registry.swap_params(self._model.g_params)
+            self.loaded_step = target
+            self.reloads += 1
+            self.last_error = None
+            return True
+        except Exception as e:  # noqa: BLE001 — watcher must outlive races
+            self.last_error = f"{type(e).__name__}: {e}"
+            return False
+
+    def _loop(self):
+        while not self._stop.wait(self._poll):
+            self.check_once()
+
+    def close(self):
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)
+
+
 class InferenceServer:
     """Stdlib HTTP server in front of a BatchingEngine.
 
@@ -554,6 +646,11 @@ class InferenceServer:
         engine = self.engine
         self.streams = _StreamRegistry(model, cfg, frozen_stats=stream_stats)
         streams = self.streams
+        # serve.py attaches a CheckpointWatcher here (--reload_poll_s);
+        # healthz reads it through the server reference so attachment
+        # after construction is visible
+        self.watcher: "CheckpointWatcher | None" = None
+        server_self = self
         layout = model.gan.generator.layout
         sr = model.audio.sample_rate
         from .streaming import encoder_halo
@@ -589,6 +686,14 @@ class InferenceServer:
                     "joint_dim": layout.joint_dim,
                     "stats": stats,
                 }
+                w = server_self.watcher
+                if w is not None:
+                    info["checkpoint"] = {
+                        "loaded_step": w.loaded_step,
+                        "selector": w._sel,
+                        "reloads": w.reloads,
+                        "last_error": w.last_error,
+                    }
                 self._send(200, json.dumps(info).encode(), "application/json")
 
             def _parse_raw_samples(self, body: bytes, q, allow_empty: bool,

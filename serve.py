@@ -53,6 +53,11 @@ flags.DEFINE_float("stream_wait_ms", 5.0,
                    "coalescing window: concurrent stream feeds arriving "
                    "within this wait run as ONE lockstep device call "
                    "(0 = solo dispatch per feed)")
+flags.DEFINE_float("reload_poll_s", 0.0,
+                   "hot checkpoint reload: poll --ckpt every N seconds "
+                   "and swap in newer weights without a restart (serve a "
+                   "training run live: train with --eval_every and serve "
+                   "--step best). 0 = off. Requires --step best|latest.")
 flags.mark_flag_as_required("ckpt")
 
 
@@ -83,6 +88,18 @@ def main(argv):
             stream_stats = FrontendStats.from_json(f.read())
     server = InferenceServer(model, cfg, host=FLAGS.host, port=FLAGS.port,
                              stream_stats=stream_stats)
+    if FLAGS.reload_poll_s > 0:
+        from music2dance_tpu.infer.serving import CheckpointWatcher
+
+        if step not in ("best", "latest"):
+            raise app.UsageError(
+                "--reload_poll_s needs --step best or latest (a pinned "
+                "step number never changes)")
+        server.watcher = CheckpointWatcher(
+            model, FLAGS.ckpt, step_selector=step,
+            poll_s=FLAGS.reload_poll_s, registry=server.streams,
+            initial_step=None,   # unknown here; first poll aligns it
+        )
     if FLAGS.warmup:
         n = server.engine.warmup()
         ns = server.streams.warmup()
@@ -96,6 +113,8 @@ def main(argv):
     except KeyboardInterrupt:
         pass
     finally:
+        if server.watcher is not None:
+            server.watcher.close()
         server.close()
 
 

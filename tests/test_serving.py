@@ -620,3 +620,113 @@ def test_http_stream_coalescing_matches_solo(model):
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     finally:
         server.close()
+
+
+class TestHotReload:
+    """CheckpointWatcher: serve a training run's weights as it trains."""
+
+    def _save(self, path, seed, step):
+        from music2dance_tpu.ckpt.orbax_io import save_checkpoint
+
+        batch = synthetic_batch(
+            jax.random.key(0), 2, 0.5, AUDIO, LAYOUT, through_frontend=False)
+        state = init_state(
+            jax.random.key(seed), GAN, TrainConfig(batch_size=2), batch)
+        save_checkpoint(str(path), state, GAN, AUDIO,
+                        TrainConfig(batch_size=2), step=step)
+        return state
+
+    def test_latest_selector_swaps_and_changes_output(self, tmp_path):
+        from music2dance_tpu.infer import CheckpointWatcher
+
+        self._save(tmp_path, seed=1, step=1)
+        m = Music2DanceModel.from_checkpoint(str(tmp_path), step="latest")
+        engine = BatchingEngine(m, SCFG)
+        try:
+            w = _wave(0, 0.5)
+            out1 = engine.generate(w, seed=7)
+
+            watcher = CheckpointWatcher(
+                m, str(tmp_path), step_selector="latest", poll_s=999.0,
+                initial_step=1, start=False)
+            assert watcher.check_once() is False   # nothing newer yet
+
+            self._save(tmp_path, seed=2, step=2)   # "training" advanced
+            assert watcher.check_once() is True
+            assert watcher.loaded_step == 2 and watcher.reloads == 1
+            assert watcher.check_once() is False   # idempotent
+
+            out2 = engine.generate(w, seed=7)      # same song, same seed
+            assert not np.allclose(out1, out2)     # new weights answered
+        finally:
+            engine.close()
+
+    def test_best_selector_follows_best_meta(self, tmp_path):
+        from music2dance_tpu.ckpt.orbax_io import CheckpointWriter
+        from music2dance_tpu.infer import CheckpointWatcher
+
+        batch = synthetic_batch(
+            jax.random.key(0), 2, 0.5, AUDIO, LAYOUT, through_frontend=False)
+        tc = TrainConfig(batch_size=2)
+        s1 = init_state(jax.random.key(1), GAN, tc, batch)
+        s2 = init_state(jax.random.key(2), GAN, tc, batch)
+        with CheckpointWriter(str(tmp_path), GAN, AUDIO, tc,
+                              best_metric="eval_fmd") as writer:
+            writer.save(1, s1)
+            assert writer.maybe_save_best(1, s1, {"eval_fmd": 1.0})
+            writer.wait()
+
+            m = Music2DanceModel.from_checkpoint(str(tmp_path), step="best")
+            watcher = CheckpointWatcher(
+                m, str(tmp_path), step_selector="best", poll_s=999.0,
+                initial_step=1, start=False)
+            assert watcher.check_once() is False
+
+            writer.save(2, s2)
+            assert not writer.maybe_save_best(2, s2, {"eval_fmd": 2.0})
+            writer.wait()
+            assert watcher.check_once() is False   # 2.0 is WORSE: no swap
+
+            assert writer.maybe_save_best(3, s2, {"eval_fmd": 0.5})
+            writer.wait()
+            assert watcher.check_once() is True    # new best -> swap
+            assert watcher.loaded_step == 3
+
+    def test_architecture_mismatch_is_surfaced_not_served(self, tmp_path):
+        from music2dance_tpu.ckpt.orbax_io import save_checkpoint
+        from music2dance_tpu.infer import CheckpointWatcher
+
+        self._save(tmp_path, seed=1, step=1)
+        m = Music2DanceModel.from_checkpoint(str(tmp_path), step="latest")
+
+        other_gan = tiny_gan(feature_dim=AUDIO.n_mfcc,
+                             layout=JointLayout(n_joints=7, joint_dim=3))
+        batch = synthetic_batch(
+            jax.random.key(0), 2, 0.5, AUDIO,
+            JointLayout(n_joints=7, joint_dim=3), through_frontend=False)
+        state = init_state(jax.random.key(3), other_gan,
+                           TrainConfig(batch_size=2), batch)
+        save_checkpoint(str(tmp_path), state, other_gan, AUDIO,
+                        TrainConfig(batch_size=2), step=2)
+
+        watcher = CheckpointWatcher(m, str(tmp_path), step_selector="latest",
+                                    poll_s=999.0, initial_step=1, start=False)
+        old = m.g_params
+        assert watcher.check_once() is False       # refused, not crashed
+        assert "architecture" in watcher.last_error
+        assert m.g_params is old                   # weights untouched
+
+    def test_swap_params_reaches_open_stream_sessions(self, tmp_path):
+        from music2dance_tpu.infer.serving import _StreamRegistry
+
+        self._save(tmp_path, seed=1, step=1)
+        m = Music2DanceModel.from_checkpoint(str(tmp_path), step="latest")
+        reg = _StreamRegistry(m, dataclasses.replace(SCFG, stream_wait_ms=0))
+        sid = reg.open(seed=3, stats_mode="none")
+
+        self._save(tmp_path, seed=2, step=2)
+        m.reload_from_checkpoint(str(tmp_path), step="latest")
+        reg.swap_params(m.g_params)
+        sess = reg._sessions[sid]["gen"].session
+        want = m.g_params.get("params", m.g_params)
+        assert sess._params is want
