@@ -65,6 +65,35 @@ def fit_tb(default: int, rows: int, hidden: int = 512) -> int:
     return tb
 
 
+# The fused kernels hold ALL scan weights VMEM-resident for the whole
+# grid (that is the design: per-step cost = raw matmul latency, zero
+# weight DMA). That puts a hard ceiling on model WIDTH: at hidden=2048
+# (GRU bf16) the gate matrices alone are 3 x 24 MB and the dual-VJP
+# kernel was measured to need 89.16 MB of scoped VMEM against the 64 MB
+# limit (compile-time OOM, benchmarks/run_width_scaling.py). hidden=1024
+# bf16 compiles and runs (measured, 72.4 steps/s, MFU 0.445). The
+# envelope below models the footprint as weights + a stream allowance:
+# fit_tb caps every pipelined block at 512K elements (<= 2 MB f32), and
+# the worst kernel double-buffers ~4 such streams => 16 MB.
+VMEM_LIMIT_BYTES = 60 * 2**20          # 64 MB scoped limit minus slack
+STREAM_ALLOWANCE_BYTES = 16 * 2**20
+
+
+def rnn_weights_vmem_bytes(layers: int, hidden: int, cell: str,
+                           cdt_bytes: int) -> int:
+    """VMEM bytes of a fused scan core's resident weights: per layer the
+    hidden-side gate matrix [H, G*H] (+ f32 bias), plus the in-scan
+    upper-layer input projections [H, G*H] for layers > 0."""
+    g = gate_factor(cell)
+    per_mat = hidden * g * hidden * cdt_bytes + g * hidden * 4
+    n_mats = layers + max(0, layers - 1)
+    return n_mats * per_mat
+
+
+def width_fits_vmem(weight_bytes: int) -> bool:
+    return weight_bytes + STREAM_ALLOWANCE_BYTES <= VMEM_LIMIT_BYTES
+
+
 def state_slots(cell: str) -> int:
     """Rows of recurrent state per layer: GRU 1 (h), LSTM 2 (h, c)."""
     if cell == "gru":

@@ -56,6 +56,18 @@ def why_not_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> str | Non
             f"critic hidden_dim={cfg.hidden_dim} not a multiple of 128 "
             "(gate splits are lane-dimension slices on TPU)"
         )
+    if not interpret:
+        from .cell_math import rnn_weights_vmem_bytes, width_fits_vmem
+
+        cdt_bytes = 2 if cfg.dtype == "bfloat16" else 4
+        wb = rnn_weights_vmem_bytes(cfg.rnn_layers, cfg.hidden_dim,
+                                    cfg.cell, cdt_bytes)
+        if not width_fits_vmem(wb):
+            return (
+                f"critic too wide for VMEM-resident kernel weights "
+                f"({wb / 2**20:.0f} MB at hidden_dim={cfg.hidden_dim}; the "
+                "scoped budget is 64 MB) — wide models ride the XLA path"
+            )
     return None
 
 

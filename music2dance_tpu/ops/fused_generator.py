@@ -53,6 +53,25 @@ def why_not_fused(cfg: GeneratorConfig, interpret: bool) -> str | None:
             f"generator hidden_dim={cfg.hidden_dim} not a multiple of 128 "
             "(gate splits are lane-dimension slices on TPU)"
         )
+    if not interpret:
+        from .cell_math import (gate_factor, rnn_weights_vmem_bytes,
+                                width_fits_vmem)
+
+        cdt_bytes = 2 if cfg.dtype == "bfloat16" else 4
+        g = gate_factor(cfg.cell)
+        wb = rnn_weights_vmem_bytes(cfg.rnn_layers, cfg.hidden_dim,
+                                    cfg.cell, cdt_bytes)
+        wb += cfg.pose_dim * g * cfg.hidden_dim * cdt_bytes   # ih0_pose
+        wb += cfg.hidden_dim * cfg.head_hidden * cdt_bytes    # head_fc
+        wb += cfg.head_hidden * cfg.pose_dim * 4              # head_out (f32)
+        if not width_fits_vmem(wb):
+            return (
+                f"generator too wide for VMEM-resident kernel weights "
+                f"({wb / 2**20:.0f} MB at hidden_dim={cfg.hidden_dim}; the "
+                "scoped budget is 64 MB) — wide models ride the XLA path, "
+                "whose large matmuls fill the MXU anyway "
+                "(benchmarks/run_width_scaling.py)"
+            )
     return None
 
 

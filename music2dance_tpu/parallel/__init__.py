@@ -1,11 +1,26 @@
-"""Parallelism: device mesh + shard_map data parallelism."""
+"""Parallelism: device mesh, shard_map data parallelism, GSPMD tensor
+parallelism for wide models."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
 from .distributed import initialize, make_global_mesh, per_host_batch_size
+from .tp import (
+    MODEL_AXIS,
+    make_mesh_2d,
+    tp_decode,
+    tp_shardings,
+    tp_specs,
+    tp_train_step,
+)
 
 __all__ = [
     "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh_2d",
+    "tp_decode",
+    "tp_shardings",
+    "tp_specs",
+    "tp_train_step",
     "batch_sharding",
     "make_mesh",
     "replicated",
