@@ -140,9 +140,63 @@ def train_step_flops(gan, tc, t) -> dict:
     return items
 
 
+def transformer_fwd_flops(cfg, b, t, is_critic=False, in_dim=None):
+    """Matmul FLOPs of ONE forward pass of the attention family
+    (models/transformer.py) at batch b, T=t. Exact for the forward;
+    attention is the 2·T²·d pair (QKᵀ and A·V)."""
+    d = cfg.hidden_dim
+    f = 0.0
+    if is_critic:
+        x_dim = in_dim
+        f += _mm(b * t, cfg.conv_kernel * x_dim, cfg.conv_dim)
+        for _ in range(cfg.conv_layers - 1):
+            f += _mm(b * t, cfg.conv_kernel * cfg.conv_dim, cfg.conv_dim)
+        f += _mm(b * t, cfg.conv_dim, d)                  # in_proj
+    else:
+        f += _mm(b * t, cfg.enc_kernel * cfg.feature_dim, cfg.enc_dim)
+        for _ in range(cfg.enc_layers - 1):
+            f += _mm(b * t, cfg.enc_kernel * cfg.enc_dim, cfg.enc_dim)
+        f += _mm(b * t, cfg.enc_dim + cfg.noise_dim, d)   # in_proj
+    for _ in range(cfg.tr_blocks):
+        f += 4 * _mm(b * t, d, d)                         # q, k, v, out
+        f += 2 * _mm(b, t * t, d)                         # QK^T + A·V
+        f += _mm(b * t, d, cfg.tr_mlp_ratio * d)          # mlp_in
+        f += _mm(b * t, cfg.tr_mlp_ratio * d, d)          # mlp_out
+    if is_critic:
+        f += _mm(b * t, d, 1)                             # score
+    else:
+        f += _mm(b * t, d, cfg.head_hidden)               # head_fc
+        f += _mm(b * t, cfg.head_hidden, cfg.pose_dim)    # head_out
+    return f
+
+
+def transformer_step_flops(gan, tc, t) -> dict:
+    """Approximate matmul FLOPs of one alternating train step for the
+    attention family. Unlike ``train_step_flops`` (exact per the fused
+    pass structure), this uses the standard backward = 2 x forward
+    convention, and counts the GP second order as two extra B-row critic
+    passes. Good to ~15% — enough for an MFU-scale comparison."""
+    g, d = gan.generator, gan.discriminator
+    b, nc = tc.batch_size, tc.n_critic
+    in_dim = d.pose_dim + (d.feature_dim if d.conditional else 0)
+    fg = transformer_fwd_flops(g, b, t)
+    if d.arch == "transformer":
+        fd = transformer_fwd_flops(d, b, t, is_critic=True, in_dim=in_dim)
+    else:
+        # mixed-family GAN (attn_long: flash G + TCN critic)
+        fd = critic_hoisted_flops(d, b, t) + critic_step_flops(d, b) * t
+    critic_iter = fg + 3 * fd * 3 + 2 * fd   # fake gen + [3B fwd+bwd] + GP
+    g_phase = 3 * fg + 3 * fd                # G fwd+bwd + critic fwd+input-grad
+    total = nc * critic_iter + g_phase
+    return {"total": total, "sequential": 0.0}
+
+
 def step_mfu(gan, tc, t, steps_per_sec: float, dtype: str) -> dict:
     """tflops/s and model-FLOPs-utilization at a measured steps/s."""
-    fl = train_step_flops(gan, tc, t)
+    if gan.generator.arch == "transformer":
+        fl = transformer_step_flops(gan, tc, t)
+    else:
+        fl = train_step_flops(gan, tc, t)
     achieved = fl["total"] * steps_per_sec
     peak = V5E_PEAK_FLOPS.get(dtype, V5E_PEAK_FLOPS["bfloat16"])
     return {

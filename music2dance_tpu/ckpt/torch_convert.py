@@ -60,6 +60,14 @@ def flax_to_torch_state_dict(params: Any) -> dict:
 
     out = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if any(isinstance(p.key, str) and p.key.startswith(("block_", "attn"))
+               for p in path):
+            raise ValueError(
+                "torch checkpoint interop covers the recurrent family "
+                "only — the reference has no transformer architecture to "
+                "be compatible with (SURVEY.md §2 C8); transformer-family "
+                "checkpoints live in orbax"
+            )
         name = path[-1].key
         key = _path_to_torch_key(path)
         out[key] = torch.from_numpy(

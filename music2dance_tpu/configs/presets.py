@@ -11,6 +11,7 @@ from ..models.configs import (
     JointLayout,
     full_gan,
     tiny_gan,
+    transformer_gan,
 )
 from ..train.config import TrainConfig
 
@@ -75,9 +76,42 @@ def preset(name: str, layout: JointLayout = JointLayout()) -> Preset:
         TrainConfig(batch_size=32, clip_seconds=6.0),
         audio,
     )
+    # Attention family (models/transformer.py): causal-attention G +
+    # attention critic at flagship scale. Training and decoding are
+    # parallel over time — no sequential scan anywhere, so the step is
+    # pure batched MXU work without any custom kernel
+    # (benchmarks/run_transformer.py for the measured comparison).
+    table["attn"] = Preset(
+        "attn",
+        "attention (transformer) G+D, batch 32, 6 s clips",
+        transformer_gan(f, layout),
+        TrainConfig(batch_size=32, clip_seconds=6.0),
+        audio,
+    )
+    # Long-clip attention training: WHOLE 30 s clips in one step — no
+    # TBPTT, no window carry. The generator's attention rides the Pallas
+    # flash kernel (T=905 -> padded 1024; no [T, T] materialization),
+    # which is what makes this length feasible at all. The critic is the
+    # dilated TCN (perf preset's): the WGAN-GP second order through a
+    # T=905 attention critic would need either the [T, T] logits tensor
+    # (hundreds of GB) or grad-of-grad through the flash kernel (its VJP
+    # is first-order only) — the conv critic's GP is pure MXU instead.
+    table["attn_long"] = Preset(
+        "attn_long",
+        "attention G (flash) + dilated TCN critic, whole 30 s clips, no TBPTT",
+        GANConfig(
+            generator=transformer_gan(f, layout).generator,
+            discriminator=dataclasses.replace(
+                full_gan(f, layout).discriminator,
+                rnn_layers=0, conv_layers=4, conv_dilation=2, conv_dim=256,
+            ),
+        ),
+        TrainConfig(batch_size=16, clip_seconds=30.0),
+        audio,
+    )
     if name not in table:
         raise KeyError(f"unknown preset {name!r}; have {sorted(table)}")
     return table[name]
 
 
-PRESET_NAMES = ("tiny", "full", "long", "perf")
+PRESET_NAMES = ("tiny", "full", "long", "perf", "attn", "attn_long")

@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models import Discriminator, Generator, GANConfig
+from ..models import GANConfig, build_discriminator, build_generator
 from .metrics import (
     beat_alignment,
     frechet_distance,
@@ -45,8 +45,8 @@ class Evaluator:
     def __init__(self, gan: GANConfig, val_batches, seed: int = 0, audio=None):
         if isinstance(val_batches, dict):
             val_batches = [val_batches]
-        gen = Generator(gan.generator)
-        disc = Discriminator(gan.discriminator)
+        gen = build_generator(gan.generator)
+        disc = build_discriminator(gan.discriminator)
         cond = gan.discriminator.conditional
         layout = gan.generator.layout
         feats = jnp.stack([jnp.asarray(vb["feats"]) for vb in val_batches])

@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models import Generator, GANConfig
+from ..models import GANConfig, build_generator
 from ..models.configs import GeneratorConfig
 
 
@@ -61,7 +61,7 @@ def decode_poses(
     ):
         poses = fused_apply(g_params, cfg, feats, z, interpret=False)
     else:
-        gen = Generator(cfg)
+        gen = build_generator(cfg)
         poses = gen.apply(g_params, feats, z)  # [B, T, P]
     if lengths is not None:
         mask = jnp.arange(t)[None, :] < lengths[:, None]
@@ -102,7 +102,7 @@ def streaming_decode_step(
     the generator's recurrent state + previous pose (same carry contract
     as TBPTT).
     """
-    gen = Generator(cfg)
+    gen = build_generator(cfg)
     poses, carry = gen.apply(g_params, feats_chunk, z, carry=carry, return_carry=True)
     b, tc = feats_chunk.shape[:2]
     return poses.reshape(b, tc, cfg.layout.n_joints, cfg.layout.joint_dim), carry

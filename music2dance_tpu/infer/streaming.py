@@ -227,6 +227,13 @@ class StreamingSession:
 
     def __init__(self, g_params, cfg: GeneratorConfig, z: jax.Array,
                  impl: str = "auto"):
+        if cfg.arch != "rnn":
+            raise ValueError(
+                "streaming sessions carry recurrent generator state and "
+                f"are a recurrent-family capability (arch={cfg.arch!r}); "
+                "decode transformer-family models offline with "
+                "generate()/generate_batch()"
+            )
         params = g_params.get("params", g_params)
         self._params = params
         self._cfg = cfg

@@ -33,14 +33,25 @@ class GeneratorConfig:
     layout: JointLayout = JointLayout()
     feature_dim: int = 20          # = AudioConfig.n_features
     noise_dim: int = 32            # per-sequence latent z
+    # model family: "rnn" (reference-parity recurrent scan + Pallas
+    # kernel bank) | "transformer" (causal attention, parallel over
+    # time — models/transformer.py)
+    arch: str = "rnn"
     # conv audio encoder (runs over the full sequence, outside the scan)
     enc_dim: int = 128
     enc_layers: int = 2
     enc_kernel: int = 5
-    # recurrent core
+    # recurrent core (arch="rnn"); hidden_dim doubles as the
+    # transformer's d_model
     hidden_dim: int = 512
     rnn_layers: int = 2
     cell: str = "gru"              # "gru" | "lstm" (torch-compatible gate order)
+    # attention stack (arch="transformer"); 4 heads at d_model 512 give
+    # head_dim 128 — one full TPU lane register, flash-kernel friendly
+    tr_blocks: int = 4
+    tr_heads: int = 4
+    tr_mlp_ratio: int = 4
+    attn_impl: str = "auto"        # "auto" | "xla" | "flash" (models/transformer.py)
     # pose head MLP
     head_hidden: int = 256
     residual_pose: bool = True     # predict pose deltas, integrate over time
@@ -58,6 +69,14 @@ class DiscriminatorConfig:
     layout: JointLayout = JointLayout()
     feature_dim: int = 20
     conditional: bool = True       # condition the critic on audio features
+    # model family: "rnn" (recurrent/TCN critic) | "transformer"
+    # (conv front end + bidirectional attention — models/transformer.py)
+    arch: str = "rnn"
+    # attention stack (arch="transformer"); see GeneratorConfig
+    tr_blocks: int = 4
+    tr_heads: int = 4
+    tr_mlp_ratio: int = 4
+    attn_impl: str = "auto"        # "auto" | "xla" | "flash"
     # temporal conv stack
     conv_dim: int = 128
     conv_layers: int = 2
@@ -116,4 +135,24 @@ def full_gan(
     return GANConfig(
         generator=GeneratorConfig(layout=layout, feature_dim=feature_dim, dtype=dtype),
         discriminator=DiscriminatorConfig(layout=layout, feature_dim=feature_dim, dtype=dtype),
+    )
+
+
+def transformer_gan(
+    feature_dim: int = 20,
+    layout: JointLayout = JointLayout(),
+    dtype: str = "float32",
+) -> GANConfig:
+    """The attention family at flagship scale (models/transformer.py):
+    causal-attention G + attention critic, d_model matching the full
+    preset's hidden_dim, parallel over time end to end."""
+    return GANConfig(
+        generator=GeneratorConfig(
+            layout=layout, feature_dim=feature_dim, dtype=dtype,
+            arch="transformer",
+        ),
+        discriminator=DiscriminatorConfig(
+            layout=layout, feature_dim=feature_dim, dtype=dtype,
+            arch="transformer",
+        ),
     )

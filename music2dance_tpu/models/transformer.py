@@ -1,0 +1,317 @@
+"""Attention model family: the TPU-native alternative architecture.
+
+The recurrent family (generator.py / discriminator.py) is the
+reference-parity architecture [BASELINE: "recurrent/conv stacks"]: its
+autoregressive pose feedback forces a strictly sequential scan, and the
+Pallas kernel bank (ops/) exists to beat that latency wall. This family
+is the other way to spend the hardware: causal self-attention over the
+whole clip, so training AND decoding are parallel over time — every op
+is a large batched MXU matmul, nothing is latency-bound, and XLA needs
+no custom kernels to saturate (measured: benchmarks/run_transformer.py).
+
+Design choices:
+
+- **Causal self-attention in the generator.** Frame t's pose depends
+  only on audio/noise at frames <= t (plus the conv encoder's SAME-
+  padding halo of ``enc_layers * (enc_kernel // 2)`` future frames —
+  identical to the recurrent family's encoder lookahead). Causality
+  keeps the offline decode semantics compatible with a streaming future
+  and mirrors the AR family's information flow without paying its
+  sequential decode.
+- **Temporal coherence via delta integration, not pose feedback.** With
+  ``residual_pose`` the head predicts per-frame pose DELTAS and the
+  output integrates them with a cumulative sum over time — the same
+  integration the AR family performs step-by-step (pose_t = pose_{t-1}
+  + delta_t), but as one parallel associative op. This is the key
+  substitution that removes the recurrence.
+- **Per-sequence noise** z broadcast over time, exactly like the
+  recurrent generator, so the GAN objective and all sampling code are
+  family-agnostic.
+- **The critic** is conv-front-ended (local motion features, reused
+  TCN pattern) with bidirectional attention blocks on top and per-frame
+  scores averaged over time — the same dense-critic-signal choice as
+  the recurrent critic. LayerNorm (pre-LN blocks) is WGAN-GP-safe
+  (per-sample normalization; the GP differentiates per-sample scores
+  wrt per-sample inputs — unlike batch norm there is no cross-sample
+  coupling).
+- **Mixed precision** mirrors the rest of the framework: cfg.dtype
+  compute, f32 params, f32 pose head / score head.
+
+Both modules keep the recurrent family's call signatures so the train
+step, losses, decode, eval, and serving layers stay family-agnostic
+(models/factory.py selects the class from ``cfg.arch``). Capabilities
+that are recurrence-specific (TBPTT state carry, streaming sessions,
+torch checkpoint conversion — the reference has no transformer to
+convert) are gated with loud errors at their entry points.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import DiscriminatorConfig, GeneratorConfig
+from .generator import AudioEncoder
+
+
+def sinusoidal_positions(t: int, d: int, dtype=jnp.float32) -> jax.Array:
+    """[t, d] fixed sinusoidal position encoding (no params, no max-len)."""
+    pos = np.arange(t)[:, None].astype(np.float64)
+    dim = np.arange(0, d, 2).astype(np.float64)
+    angle = pos / np.power(10000.0, dim / d)   # [t, ceil(d/2)]
+    enc = np.zeros((t, d))
+    enc[:, 0::2] = np.sin(angle)
+    enc[:, 1::2] = np.cos(angle[:, : d // 2])
+    return jnp.asarray(enc, dtype)
+
+
+def use_flash_attention(t: int, head_dim: int, impl: str) -> bool:
+    """Route the attention core: Pallas flash attention on TPU for long
+    sequences (no [T, T] materialization — 30 s clips train whole), the
+    XLA einsum path otherwise (short clips, CPU tests, interpret)."""
+    if impl == "xla":
+        return False
+    if impl == "flash":
+        return True
+    # "auto": flash pays off once the [B, h, T, T] logits tensor and its
+    # softmax dominate; below ~256 frames the einsum path is smaller
+    # than flash's 128-padding + kernel overhead
+    return jax.default_backend() == "tpu" and t >= 256 and head_dim % 64 == 0
+
+
+def _flash_attention(q, k, v, causal: bool):
+    """q, k, v [B, T, h, hd] -> [B, T, h, hd] via the Pallas TPU flash
+    kernel. T is padded to a multiple of 128: with ``causal`` the padded
+    tail sits strictly in the future of every real query (bit-exact by
+    masking), without it the pad rows are masked out via segment ids."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, h, hd = q.shape
+    tp = -(-t // 128) * 128
+    pad = [(0, 0), (0, tp - t), (0, 0), (0, 0)]
+    qt, kt, vt = (jnp.transpose(jnp.pad(x, pad), (0, 2, 1, 3))
+                  for x in (q, k, v))  # [B, h, Tp, hd]
+    seg = None
+    if not causal and tp != t:
+        ids = (jnp.arange(tp) >= t).astype(jnp.int32)[None].repeat(b, 0)
+        seg = SegmentIds(ids, ids)
+    blk = min(128, tp)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    out = flash_attention(qt, kt, vt, causal=causal, segment_ids=seg,
+                          sm_scale=1.0 / float(np.sqrt(hd)), block_sizes=bs)
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :t]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention with an impl-routed core (flash kernel / XLA).
+
+    Projections are plain Dense layers in the compute dtype; the softmax
+    runs in f32 on the XLA path and inside the kernel on the flash path.
+    """
+
+    d_model: int
+    heads: int
+    dtype: str
+    causal: bool
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, _ = x.shape
+        hd = self.d_model // self.heads
+        if self.d_model % self.heads:
+            raise ValueError(
+                f"hidden_dim={self.d_model} must divide tr_heads={self.heads}"
+            )
+        q = nn.Dense(self.d_model, name="q", dtype=self.dtype)(x)
+        k = nn.Dense(self.d_model, name="k", dtype=self.dtype)(x)
+        v = nn.Dense(self.d_model, name="v", dtype=self.dtype)(x)
+        q, k, v = (y.reshape(b, t, self.heads, hd) for y in (q, k, v))
+
+        if use_flash_attention(t, hd, self.impl):
+            ctx = _flash_attention(q, k, v, self.causal)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            logits = logits / np.sqrt(hd)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((t, t), bool))
+                logits = jnp.where(mask[None, None], logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+        return nn.Dense(self.d_model, name="o", dtype=self.dtype)(
+            ctx.reshape(b, t, self.d_model)
+        )
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block: x + Attn(LN(x)) then x + MLP(LN(x))."""
+
+    d_model: int
+    heads: int
+    mlp_ratio: int
+    dtype: str
+    causal: bool
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(name="ln1")(x)
+        h = MultiHeadSelfAttention(
+            self.d_model, self.heads, self.dtype, self.causal,
+            self.attn_impl, name="attn",
+        )(h)
+        x = x + h
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(self.mlp_ratio * self.d_model, name="mlp_in",
+                     dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.d_model, name="mlp_out", dtype=self.dtype)(h)
+        return x + h
+
+
+class TransformerGenerator(nn.Module):
+    """G(feats [B,T,F], z [B,Z]) -> poses [B,T,P], parallel over time.
+
+    Signature-compatible with models.generator.Generator; ``carry`` /
+    ``tf_poses`` / ``return_carry`` exist for interface parity and are
+    rejected loudly (no recurrent state to carry; teacher forcing is
+    meaningless without pose feedback).
+    """
+
+    cfg: GeneratorConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,
+        z: jax.Array,
+        carry: Optional[Any] = None,
+        tf_poses: Optional[jax.Array] = None,
+        return_carry: bool = False,
+    ):
+        cfg = self.cfg
+        if carry is not None or return_carry:
+            raise ValueError(
+                "arch='transformer' has no recurrent state: TBPTT window "
+                "carry and streaming sessions are recurrent-family "
+                "capabilities (use arch='rnn' for 30 s TBPTT training)"
+            )
+        if tf_poses is not None:
+            raise ValueError(
+                "arch='transformer' does not take teacher-forcing poses "
+                "(there is no pose feedback path)"
+            )
+        b, t, _ = feats.shape
+
+        enc = AudioEncoder(cfg, name="encoder")(feats)                # [B,T,E]
+        z_seq = jnp.broadcast_to(z[:, None, :], (b, t, cfg.noise_dim))
+        x = nn.Dense(cfg.hidden_dim, name="in_proj", dtype=cfg.dtype)(
+            jnp.concatenate([enc, z_seq], axis=-1)
+        )
+        x = x + sinusoidal_positions(t, cfg.hidden_dim, x.dtype)[None]
+        for i in range(cfg.tr_blocks):
+            x = TransformerBlock(
+                cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,
+                cfg.dtype, causal=True, attn_impl=cfg.attn_impl,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(name="ln_f")(x)
+        y = nn.relu(nn.Dense(cfg.head_hidden, name="head_fc",
+                             dtype=cfg.dtype)(x))
+        # zero-init final layer (the DiT/ControlNet pattern): motion
+        # starts at rest and the cumsum integration can't amplify init
+        # noise into large poses — measured to prevent the early
+        # adversarial blow-ups this family showed with a default init
+        # (benchmarks/RESULTS.md attention-family learning section)
+        out = nn.Dense(cfg.pose_dim, name="head_out", dtype="float32",
+                       kernel_init=nn.initializers.zeros)(
+            y.astype(jnp.float32)
+        )  # [B,T,P] deltas (or poses)
+        if cfg.residual_pose:
+            # the AR family's pose_t = pose_{t-1} + delta_t, as one
+            # parallel associative op
+            out = jnp.cumsum(out, axis=1)
+        return out
+
+
+class TransformerCritic(nn.Module):
+    """D(poses [B,T,P], feats [B,T,F]) -> score [B].
+
+    Conv front end (local motion features — the TCN pattern), then
+    bidirectional pre-LN attention blocks, then per-frame f32 scores
+    averaged over time. ``return_features`` exposes the conv + final
+    hidden activations for the feature-matching auxiliary loss, same
+    contract as the recurrent critic.
+    """
+
+    cfg: DiscriminatorConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        poses: jax.Array,
+        feats: Optional[jax.Array] = None,
+        carry: Optional[Any] = None,
+        return_carry: bool = False,
+        return_features: bool = False,
+    ):
+        cfg = self.cfg
+        b, t, _ = poses.shape
+        x = poses
+        if cfg.conditional:
+            if feats is None:
+                raise ValueError("conditional critic requires audio features")
+            x = jnp.concatenate([poses, feats], axis=-1)
+
+        features = []
+        for l in range(cfg.conv_layers):
+            x = nn.Conv(cfg.conv_dim, (cfg.conv_kernel,), padding="SAME",
+                        name=f"conv_{l}", dtype=cfg.dtype,
+                        kernel_dilation=(cfg.conv_dilation**l,))(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+            features.append(x)
+
+        x = nn.Dense(cfg.hidden_dim, name="in_proj", dtype=cfg.dtype)(x)
+        x = x + sinusoidal_positions(t, cfg.hidden_dim, x.dtype)[None]
+        # The critic never auto-routes to the flash kernel: WGAN-GP
+        # differentiates the critic's input-gradient (grad-of-grad), and
+        # the flash kernel's custom VJP is first-order only ("Higher-
+        # order AD not supported", measured on hardware). The generator
+        # is free to use flash — nothing ever takes second-order
+        # derivatives through G. For long clips pair this generator with
+        # the TCN critic (the attn_long preset) whose GP is pure MXU.
+        impl = "xla" if cfg.attn_impl == "auto" else cfg.attn_impl
+        for i in range(cfg.tr_blocks):
+            x = TransformerBlock(
+                cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,
+                cfg.dtype, causal=False, attn_impl=impl,
+                name=f"block_{i}",
+            )(x)
+        h = nn.LayerNorm(name="ln_f")(x)
+        features.append(h)
+        scores = nn.Dense(1, name="score", dtype="float32")(
+            h.astype(jnp.float32)
+        )  # [B,T,1]
+        score = jnp.mean(scores, axis=(1, 2))
+
+        out = (score,)
+        if return_carry:
+            # no recurrent state; zero-layer carry keeps the call sites
+            # that thread carries (eval loops) family-agnostic
+            out += (jnp.zeros((0, b, cfg.hidden_dim), jnp.float32),)
+        if return_features:
+            out += (features,)
+        return out if len(out) > 1 else out[0]

@@ -45,6 +45,11 @@ def why_not_fused_critic(cfg: DiscriminatorConfig, interpret: bool) -> str | Non
     """None when the fused critic kernels apply; else a human-readable
     reason (surfaced as a one-time warning by train/step.py so an XLA
     fallback is never silent)."""
+    if cfg.arch != "rnn":
+        return (
+            f"critic arch={cfg.arch!r} (the attention family has no "
+            "sequential scan to fuse)"
+        )
     if cfg.cell not in ("gru", "lstm"):
         return f"critic cell={cfg.cell!r} (kernels implement GRU and LSTM)"
     if cfg.rnn_layers < 1:

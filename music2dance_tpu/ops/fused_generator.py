@@ -42,6 +42,12 @@ def why_not_fused(cfg: GeneratorConfig, interpret: bool) -> str | None:
     """None when the fused generator kernels apply; else a human-readable
     reason (surfaced as a one-time warning by train/step.py so an XLA
     fallback is never silent — a fallback costs ~3.4x in steps/s)."""
+    if cfg.arch != "rnn":
+        return (
+            f"generator arch={cfg.arch!r} (the attention family is "
+            "parallel over time — XLA batches its matmuls onto the MXU "
+            "directly; there is no sequential scan to fuse)"
+        )
     if cfg.cell not in ("gru", "lstm"):
         return f"generator cell={cfg.cell!r} (kernels implement GRU and LSTM)"
     if not cfg.autoregressive:

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import Discriminator, Generator, GANConfig
+from ..models import GANConfig, build_discriminator, build_generator
 from .config import TrainConfig
 from .losses import critic_loss, feature_matching, generator_loss
 
@@ -83,8 +83,8 @@ def init_state(
     sample_batch: dict,
 ) -> TrainState:
     """Build params + optimizer states from a (possibly tiny) sample batch."""
-    gen = Generator(gan.generator)
-    disc = Discriminator(gan.discriminator)
+    gen = build_generator(gan.generator)
+    disc = build_discriminator(gan.discriminator)
     feats, poses = sample_batch["feats"], sample_batch["poses"]
     kg, kd, kz, krest = jax.random.split(key, 4)
     z = jax.random.normal(kz, (feats.shape[0], gan.generator.noise_dim))
@@ -119,8 +119,8 @@ def make_train_step(
     (interpret mode off-TPU — used by the CPU equivalence tests); False =
     pure XLA.
     """
-    gen = Generator(gan.generator)
-    disc = Discriminator(gan.discriminator)
+    gen = build_generator(gan.generator)
+    disc = build_discriminator(gan.discriminator)
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
 

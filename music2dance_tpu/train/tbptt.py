@@ -62,6 +62,13 @@ def make_tbptt_machinery(
     """
     if tc.tbptt_window <= 0:
         raise ValueError("tc.tbptt_window must be positive for TBPTT training")
+    if gan.generator.arch != "rnn" or gan.discriminator.arch != "rnn":
+        raise ValueError(
+            "TBPTT carries recurrent state across windows and is a "
+            "recurrent-family capability; arch='transformer' trains on "
+            "full clips (its attention context is the whole clip — use "
+            "the plain train step)"
+        )
 
     gen = Generator(gan.generator)
     disc = Discriminator(gan.discriminator)

@@ -17,7 +17,10 @@ flags.DEFINE_string(
     "config preset: tiny (smoke-test scale) | full (the flagship "
     "architecture, BASELINE config #3) | long (30 s clips with TBPTT, "
     "config #4) | perf (full architecture at the throughput-tuned batch "
-    "— the fastest measured steps/s, see benchmarks/RESULTS.md)")
+    "— the fastest measured steps/s, see benchmarks/RESULTS.md) | attn "
+    "(the attention family: causal-transformer G+D, parallel over time) "
+    "| attn_long (attention on whole 30 s clips via flash attention — "
+    "no TBPTT)")
 flags.DEFINE_integer("steps", 100, "total train steps")
 flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
