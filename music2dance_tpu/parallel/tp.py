@@ -95,6 +95,12 @@ def check_tp_divisibility(gan: GANConfig, n_model: int) -> None:
         bad.append(f"generator.head_hidden={g.head_hidden}")
     if d.hidden_dim % n_model:
         bad.append(f"discriminator.hidden_dim={d.hidden_dim}")
+    # attention family: heads shard with the q/k/v column dim, so the
+    # head count must split evenly across the model axis
+    if g.arch == "transformer" and g.tr_heads % n_model:
+        bad.append(f"generator.tr_heads={g.tr_heads}")
+    if d.arch == "transformer" and d.tr_heads % n_model:
+        bad.append(f"discriminator.tr_heads={d.tr_heads}")
     if bad:
         raise ValueError(
             f"model-parallel axis of {n_model} does not divide: "
@@ -103,8 +109,14 @@ def check_tp_divisibility(gan: GANConfig, n_model: int) -> None:
         )
 
 
-_ROW_PARALLEL = ("hh", "head_out", "score")       # contraction dim sharded
-_COL_PARALLEL = ("head_fc", "tcn_fc")             # output dim sharded
+# Attention family (models/transformer.py): q/k/v are the Megatron
+# column side (heads shard naturally with the output dim), the out
+# projection and mlp_out are the row side — one psum per attention and
+# per MLP, no intermediate resharding. NOTE: flash attention is a
+# per-device Pallas kernel; under a model-parallel mesh the attention
+# core must ride the XLA path (attn_impl="xla"), which GSPMD partitions.
+_ROW_PARALLEL = ("hh", "head_out", "score", "o", "mlp_out")
+_COL_PARALLEL = ("head_fc", "tcn_fc", "q", "k", "v", "mlp_in")
 
 
 def _module_base(name: str) -> str:
@@ -130,6 +142,22 @@ def _leaf_spec(path, leaf) -> P:
         # column-parallel: kernel [in, out] and bias sharded on the output
         return P(None, MODEL_AXIS) if kind == "kernel" else P(MODEL_AXIS)
     return P()
+
+
+def _force_xla_attention(gan: GANConfig) -> GANConfig:
+    """Under a model-parallel mesh the attention core must be the XLA
+    path (flash attention is a per-device Pallas kernel); GSPMD then
+    partitions the einsums, with the logits tensor sharded on heads."""
+    import dataclasses
+
+    def fix(cfg):
+        if getattr(cfg, "arch", "rnn") == "transformer":
+            return dataclasses.replace(cfg, attn_impl="xla")
+        return cfg
+
+    return dataclasses.replace(
+        gan, generator=fix(gan.generator), discriminator=fix(gan.discriminator)
+    )
 
 
 def tp_specs(tree) -> Any:
@@ -163,6 +191,7 @@ def tp_train_step(
     from ..train.step import make_train_step
 
     check_tp_divisibility(gan, mesh.shape[MODEL_AXIS])
+    gan = _force_xla_attention(gan)
     state_sh = tp_shardings(state, mesh)
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     step = make_train_step(gan, tc, axis_name=None, fused=False)
@@ -182,6 +211,7 @@ def tp_decode(gan: GANConfig, mesh: Mesh, g_params):
     from ..infer.decode import decode_poses
 
     check_tp_divisibility(gan, mesh.shape[MODEL_AXIS])
+    gan = _force_xla_attention(gan)
     p_sh = tp_shardings(g_params, mesh)
     data = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())

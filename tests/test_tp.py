@@ -49,11 +49,17 @@ def _assert_state_close(a, b, rtol=2e-3, atol=5e-5):
         if x.dtype == jax.numpy.uint32:  # rng key data
             continue
         key = jax.tree_util.keystr(pa)
-        if "score" in key and key.endswith("['bias']"):
-            # WGAN knife edge: the critic score bias cancels algebraically
-            # between the real and fake terms, so its true gradient is 0
-            # and the computed one is a reduction-order rounding residue
-            # (~1e-8) — which Adam amplifies to an O(lr) update. Both
+        if key.endswith("['bias']") and (
+            "score" in key or "['k']" in key or "ln_f" in key
+        ):
+            # Zero-true-gradient knife edges: parameters that shift the
+            # critic score identically for every input cancel
+            # algebraically between the real and fake WGAN terms (the
+            # score bias, and the final-LN bias which feeds the score
+            # linearly), and the attention KEY bias shifts every logit
+            # of a query equally (softmax-invariant). Their computed
+            # gradients are reduction-order rounding residues (~1e-8)
+            # that Adam amplifies to O(lr) updates — both
             # implementations produce noise here; comparing it compares
             # rounding order, not correctness.
             continue
@@ -142,6 +148,61 @@ def test_tp_step_tcn_multiscale_critic():
             float(tp_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=5e-5,
             err_msg=f"metric {k}",
         )
+    _assert_state_close(tp_state.d_params, ref_state.d_params)
+
+
+def test_tp_step_transformer_family():
+    """Attention-family TP: q/k/v column-parallel (heads shard with the
+    output dim — the [B,h,T,T] logits shard on heads), o/mlp_out
+    row-parallel. Must equal the single-device step."""
+    from music2dance_tpu.models import transformer_gan
+
+    gan = transformer_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+    gan = dataclasses.replace(
+        gan,
+        generator=dataclasses.replace(
+            gan.generator, hidden_dim=64, head_hidden=32, tr_blocks=2,
+            tr_heads=4, enc_dim=32, noise_dim=8,
+        ),
+        discriminator=dataclasses.replace(
+            gan.discriminator, hidden_dim=64, tr_blocks=2, tr_heads=4,
+            conv_dim=32,
+        ),
+    )
+    tc = TrainConfig(batch_size=8)
+    batch = synthetic_batch(
+        jax.random.key(0), 8, 0.5, AUDIO, LAYOUT, through_frontend=False
+    )
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    # head_out is zero-init for training stability, which makes every
+    # upstream generator gradient a pure rounding residue at step 1 (a
+    # knife edge, not a real comparison) — give it weight first
+    gp = jax.tree_util.tree_map(lambda x: x, state.g_params)
+    ho = gp["params"]["head_out"]["kernel"]
+    gp["params"]["head_out"]["kernel"] = (
+        jax.random.normal(jax.random.key(9), ho.shape, ho.dtype) * 0.02
+    )
+    state = state.replace(g_params=gp)
+
+    specs = tp_specs(state)
+    g = specs.g_params["params"]["block_0"]
+    assert g["attn"]["q"]["kernel"] == P(None, "model")
+    assert g["attn"]["o"]["kernel"] == P("model", None)
+    assert g["mlp_in"]["kernel"] == P(None, "model")
+    assert g["mlp_out"]["kernel"] == P("model", None)
+    assert g["ln1"]["scale"] == P()
+
+    ref_state, ref_metrics = jax.jit(make_train_step(gan, tc))(state, batch)
+    mesh = make_mesh_2d(2, 4)
+    tp_step, tp_state = tp_train_step(gan, tc, mesh, state, donate=False)
+    tp_state, tp_metrics = tp_step(tp_state, batch)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(tp_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=5e-5,
+            err_msg=f"metric {k}",
+        )
+    _assert_state_close(tp_state.g_params, ref_state.g_params)
     _assert_state_close(tp_state.d_params, ref_state.d_params)
 
 
