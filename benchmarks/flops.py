@@ -80,7 +80,8 @@ def critic_hoisted_flops(d, b, t):
         f += _mm(b * t, d.conv_dim, gh)             # ih0
         f += _mm(b * t, d.hidden_dim, 1)            # score per frame
     else:
-        f += _mm(b * t, d.conv_dim, 1)
+        f += _mm(b * t, d.conv_dim, d.hidden_dim)   # tcn_fc
+        f += _mm(b * t, d.hidden_dim, 1)            # score per frame
     return f
 
 

@@ -129,14 +129,20 @@ def main():
 
     # flash-vs-XLA attention parity at the long-clip shape (the routed
     # core must not change the model)
-    import dataclasses
     from music2dance_tpu.models import build_generator
 
     g_flash = attn.generator
-    g_xla = dataclasses.replace(g_flash, attn_impl="xla")
+    g_xla = _dc.replace(g_flash, attn_impl="xla")
     feats = batch_l["feats"][:2]
     z = jax.random.normal(jax.random.key(4), (2, g_flash.noise_dim))
     params = build_generator(g_xla).init(jax.random.key(5), feats, z)
+    # head_out is zero-init (training stability), which would make both
+    # outputs exactly zero — give it weight so the parity check compares
+    # real numbers
+    ho = params["params"]["head_out"]["kernel"]
+    params["params"]["head_out"]["kernel"] = (
+        jax.random.normal(jax.random.key(6), ho.shape, ho.dtype) * 0.02
+    )
     p_f = jax.jit(lambda p, f, zz: build_generator(g_flash).apply(p, f, zz))(params, feats, z)
     p_x = jax.jit(lambda p, f, zz: build_generator(g_xla).apply(p, f, zz))(params, feats, z)
     denom = float(jnp.abs(p_x).max())

@@ -76,6 +76,11 @@ def use_flash_attention(t: int, head_dim: int, impl: str) -> bool:
     if impl == "xla":
         return False
     if impl == "flash":
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "attn_impl='flash' requires a TPU backend (the flash "
+                "kernel is Pallas TPU code); use 'auto' or 'xla'"
+            )
         return True
     # "auto": flash pays off once the [B, h, T, T] logits tensor and its
     # softmax dominate; below ~256 frames the einsum path is smaller
@@ -131,11 +136,11 @@ class MultiHeadSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, _ = x.shape
-        hd = self.d_model // self.heads
         if self.d_model % self.heads:
             raise ValueError(
-                f"hidden_dim={self.d_model} must divide tr_heads={self.heads}"
+                f"tr_heads={self.heads} must divide hidden_dim={self.d_model}"
             )
+        hd = self.d_model // self.heads
         q = nn.Dense(self.d_model, name="q", dtype=self.dtype)(x)
         k = nn.Dense(self.d_model, name="k", dtype=self.dtype)(x)
         v = nn.Dense(self.d_model, name="v", dtype=self.dtype)(x)
@@ -286,14 +291,22 @@ class TransformerCritic(nn.Module):
 
         x = nn.Dense(cfg.hidden_dim, name="in_proj", dtype=cfg.dtype)(x)
         x = x + sinusoidal_positions(t, cfg.hidden_dim, x.dtype)[None]
-        # The critic never auto-routes to the flash kernel: WGAN-GP
+        # The critic never rides the flash kernel: WGAN-GP
         # differentiates the critic's input-gradient (grad-of-grad), and
         # the flash kernel's custom VJP is first-order only ("Higher-
         # order AD not supported", measured on hardware). The generator
         # is free to use flash — nothing ever takes second-order
         # derivatives through G. For long clips pair this generator with
         # the TCN critic (the attn_long preset) whose GP is pure MXU.
-        impl = "xla" if cfg.attn_impl == "auto" else cfg.attn_impl
+        if cfg.attn_impl == "flash":
+            raise ValueError(
+                "attn_impl='flash' is not supported on the critic: the "
+                "flash kernel's VJP is first-order only and WGAN-GP "
+                "needs grad-of-grad through the critic — it would fail "
+                "deep in the kernel at the first train step. The critic "
+                "rides the XLA attention path ('auto'/'xla')."
+            )
+        impl = "xla"
         for i in range(cfg.tr_blocks):
             x = TransformerBlock(
                 cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,

@@ -203,6 +203,24 @@ def test_torch_interop_rejected():
         flax_to_torch_state_dict(params)
 
 
+def test_flash_gates_are_loud():
+    from music2dance_tpu.models.transformer import use_flash_attention
+
+    # explicit flash off-TPU: entry-point error, not a Pallas crash
+    with pytest.raises(ValueError, match="TPU backend"):
+        use_flash_attention(512, 128, "flash")
+    # the critic never flashes: its GP needs grad-of-grad and the flash
+    # VJP is first-order only
+    gan = _tiny_attn()
+    disc = build_discriminator(
+        dataclasses.replace(gan.discriminator, attn_impl="flash")
+    )
+    poses = jnp.zeros((2, 12, LAYOUT.pose_dim))
+    feats = jnp.zeros((2, 12, AUDIO.n_mfcc))
+    with pytest.raises(ValueError, match="first-order"):
+        disc.init(jax.random.key(0), poses, feats)
+
+
 def test_fused_envelope_rejects_transformer():
     from music2dance_tpu.ops.fused_critic import why_not_fused_critic
     from music2dance_tpu.ops.fused_generator import why_not_fused
