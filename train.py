@@ -57,6 +57,12 @@ flags.DEFINE_enum("cell", "", ["", "gru", "lstm"],
                   "recurrent cell family for G and D (default: preset's, "
                   "gru). Both ride the same fused kernel bank.")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
+flags.DEFINE_integer("ckpt_every", 0, "checkpoint cadence in steps (0 = preset "
+                     "default, 500). The async save fetches the whole "
+                     "TrainState to the host: on link-bound hosts large "
+                     "models (e.g. the attention family, ~320 MB) can "
+                     "spend more tunnel time on checkpoints than compute "
+                     "— raise this if the loop lags the bench step rate")
 flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
                      "default, 50). THE single most throughput-critical knob "
                      "in device_store mode: it is the scan-fused chunk length, "
@@ -75,6 +81,11 @@ flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
+flags.DEFINE_integer("n_critic", 0, "critic updates per alternating step "
+                     "(0 = preset default). Statically unrolled in the "
+                     "jitted step; the WGAN-GP convention is 5, the "
+                     "presets default to 1 (measured sufficient on the "
+                     "beat corpus)")
 flags.DEFINE_bool("aug_rotate", False, "augment real poses with a random "
                   "rotation about the up axis (on device, per example)")
 flags.DEFINE_bool("aug_mirror", False, "augment real poses by mirroring "
@@ -136,6 +147,10 @@ def main(argv):
             )
         )
     train_over = {}
+    if FLAGS.ckpt_every > 0:
+        train_over["ckpt_every"] = FLAGS.ckpt_every
+    if FLAGS.n_critic > 0:
+        train_over["n_critic"] = FLAGS.n_critic
     if FLAGS.ema_decay > 0:
         train_over["ema_decay"] = FLAGS.ema_decay
     if FLAGS.feature_matching > 0:
