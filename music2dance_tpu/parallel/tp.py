@@ -180,6 +180,7 @@ def tp_train_step(
     mesh: Mesh,
     state,
     donate: bool = True,
+    place: bool = True,
 ):
     """Jitted DP+TP train step over a (data, model) mesh.
 
@@ -187,6 +188,12 @@ def tp_train_step(
     the TP layout (weights sharded on "model", everything replicated on
     "data"); the batch shards its leading dim on "data". One function
     covers both axes — with model=1 this IS GSPMD data parallelism.
+
+    ``place=False`` skips the device_put and returns ``state``
+    unchanged — for multi-host callers whose state leaves are already
+    GLOBAL arrays built with ``tp_shardings`` layouts
+    (jax.make_array_from_process_local_data; a host-local device_put
+    cannot target non-addressable devices).
     """
     from ..train.step import make_train_step
 
@@ -201,7 +208,9 @@ def tp_train_step(
         out_shardings=(state_sh, NamedSharding(mesh, P())),
         donate_argnums=(0,) if donate else (),
     )
-    return fn, jax.device_put(state, state_sh)
+    if place:
+        state = jax.device_put(state, state_sh)
+    return fn, state
 
 
 def tp_decode(gan: GANConfig, mesh: Mesh, g_params):

@@ -97,6 +97,83 @@ print("RESULT " + json.dumps(out, sort_keys=True), flush=True)
 """
 
 
+_TP_WORKER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import json
+import sys
+
+import numpy as np
+
+port, pid = sys.argv[1], int(sys.argv[2])
+
+from music2dance_tpu.parallel.distributed import initialize
+
+initialize(coordinator_address=f"localhost:{port}", num_processes=2,
+           process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from music2dance_tpu.audio import AudioConfig
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.parallel.tp import tp_shardings, tp_train_step
+from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+
+# 2-D global mesh: data axis ACROSS the two processes (DCN on a real
+# pod), model axis across each process's local devices (ICI)
+grid = np.asarray(jax.devices()).reshape(2, 2)
+mesh = Mesh(grid, ("data", "model"))
+
+audio = AudioConfig(sample_rate=8000, n_fft=256, win_length=256,
+                    hop_length=200, n_mels=40, n_mfcc=13)
+layout = JointLayout(n_joints=4, joint_dim=3)
+gan = tiny_gan(feature_dim=audio.n_mfcc, layout=layout)
+tc = TrainConfig(batch_size=8)
+
+full = synthetic_batch(jax.random.key(0), tc.batch_size, 0.5, audio, layout,
+                       through_frontend=False)
+state = init_state(jax.random.key(1), gan, tc, full)
+
+# single-device reference on this host's CPU: the distributed TP step
+# must match it to reduction-order tolerance
+ref_state, ref_metrics = jax.jit(make_train_step(gan, tc))(state, full)
+ref = {k: float(v) for k, v in ref_metrics.items()}
+
+shardings = tp_shardings(state, mesh)
+
+
+def to_global(x, sh):
+    if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        return jax.random.wrap_key_data(
+            jax.make_array_from_process_local_data(sh, data)
+        )
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+
+gstate = jax.tree.map(to_global, state, shardings)
+local_b = tc.batch_size // 2
+bsh = NamedSharding(mesh, P("data"))
+gbatch = {
+    k: jax.make_array_from_process_local_data(
+        bsh, np.asarray(v)[pid * local_b : (pid + 1) * local_b])
+    for k, v in full.items()
+}
+
+fn, gstate = tp_train_step(gan, tc, mesh, gstate, donate=False, place=False)
+gstate, metrics = fn(gstate, gbatch)
+out = {k: float(v) for k, v in metrics.items()}
+out["step"] = int(gstate.step)
+out["ref_" + "step"] = 1
+for k, v in ref.items():
+    out["ref_" + k] = v
+print("RESULT " + json.dumps(out, sort_keys=True), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -105,9 +182,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_train_step(tmp_path):
+def _run_two_workers(tmp_path, source):
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(source)
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -135,9 +212,30 @@ def test_two_process_distributed_train_step(tmp_path):
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line:\n{out[-2000:]}\n{err[-2000:]}"
         outs.append(json.loads(lines[-1][len("RESULT "):]))
+    return outs
 
-    a, b = outs
+
+def test_two_process_distributed_train_step(tmp_path):
+    a, b = _run_two_workers(tmp_path, _WORKER)
     assert a["step"] == b["step"] == 1
     for k in a:
         assert np.isfinite(a[k]), (k, a[k])
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_two_process_tensor_parallel_step(tmp_path):
+    """DCN x model-parallel composition: a (data=2 processes, model=2
+    local devices) GSPMD mesh; each worker also runs the single-device
+    step locally and the distributed TP metrics must match it."""
+    a, b = _run_two_workers(tmp_path, _TP_WORKER)
+    assert a["step"] == b["step"] == 1
+    for k in list(a):
+        assert np.isfinite(a[k]), (k, a[k])
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+    for k in a:
+        if k.startswith("ref_") or k == "step":
+            continue
+        np.testing.assert_allclose(
+            a[k], a["ref_" + k], rtol=2e-3, atol=5e-5,
+            err_msg=f"TP-over-2-processes vs single device: {k}",
+        )
