@@ -1,5 +1,6 @@
 """Parallelism: device mesh, shard_map data parallelism, GSPMD tensor
-parallelism for wide models."""
+parallelism for wide models, GSPMD sequence (context) parallelism for
+the attention family's long clips, multi-host (DCN) initialization."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
@@ -12,10 +13,15 @@ from .tp import (
     tp_specs,
     tp_train_step,
 )
+from .sp import SEQ_AXIS, make_mesh_3d, sp_decode, sp_train_step
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "SEQ_AXIS",
+    "make_mesh_3d",
+    "sp_decode",
+    "sp_train_step",
     "make_mesh_2d",
     "tp_decode",
     "tp_shardings",

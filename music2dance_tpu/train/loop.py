@@ -130,7 +130,19 @@ def train_from_store(
                 lambda st: jax.lax.scan(lambda s, _: step(s), st, None, length=length)
             )
 
-    chunk_len = min(tc.log_every, total_steps)
+    # Restored runs CONTINUE their numbering: ``total_steps`` is the
+    # ABSOLUTE target step, so restoring a step-6500 state with
+    # total_steps=10000 trains 3500 more steps and logs/saves rows
+    # 7000..10000 — the counter must never restart at 0, which would
+    # overwrite the checkpoint history and interleave stale JSONL steps.
+    start = int(state.step)
+    if start >= total_steps:
+        warn_once(
+            f"train_from_store: restored state is already at step {start} "
+            f">= total_steps {total_steps} — nothing to do"
+        )
+        return state
+    chunk_len = min(tc.log_every, total_steps - start)
     chunk = make_chunk(chunk_len)
     logger = MetricsLogger(log_dir, tensorboard=tensorboard)
     writer = (
@@ -173,7 +185,7 @@ def train_from_store(
         _round_cadence(tc.ckpt_every, chunk_len, "ckpt_every")
         if writer is not None else 0
     )
-    done = 0
+    done = start
     pending = None
     try:
         while done < total_steps:
@@ -286,8 +298,22 @@ def train(
     )
     metrics = {}
     batch = first
+    # Restored runs CONTINUE their numbering: ``total_steps`` is the
+    # ABSOLUTE target step (restore at 6500, total 10000 -> 3500 more
+    # steps logged/saved as 7000..10000; a counter restart would
+    # overwrite the checkpoint history and interleave stale JSONL rows).
+    start = int(state.step)
+    if start >= total_steps:
+        warn_once(
+            f"train: restored state is already at step {start} >= "
+            f"total_steps {total_steps} — nothing to do"
+        )
+        if writer is not None:
+            writer.close()
+        logger.close()
+        return state
     try:
-        for i in range(total_steps):
+        for i in range(start, total_steps):
             state, metrics = step(state, batch)
             if i + 1 < total_steps:
                 batch = next(batches)

@@ -119,3 +119,70 @@ def test_sampling_global_batch_semantics():
     tc = TrainConfig(batch_size=6)
     with pytest.raises(ValueError):
         make_sampling_train_step(GAN, tc, store, 10, axis_name="data", num_shards=4)
+
+
+def test_train_from_store_resume_continues_numbering(tmp_path):
+    """``total_steps`` is the ABSOLUTE target: a restored run continues
+    its step numbering instead of restarting at 0 (which used to
+    overwrite the checkpoint history and interleave stale JSONL rows)."""
+    import json
+    import os
+
+    from music2dance_tpu.ckpt.orbax_io import restore_bundle
+    from music2dance_tpu.train.loop import train_from_store
+
+    store = make_store()
+    tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
+                     log_every=2, ckpt_every=2)
+    ckpt, logs = str(tmp_path / "ckpt"), str(tmp_path / "logs")
+    state = train_from_store(GAN, tc, AUDIO, store, total_steps=4,
+                             ckpt_dir=ckpt, log_dir=logs)
+    assert int(state.step) == 4
+
+    _, _, restored = restore_bundle(ckpt)
+    assert int(restored.step) == 4
+    state2 = train_from_store(GAN, tc, AUDIO, store, total_steps=8,
+                              ckpt_dir=ckpt, log_dir=logs, state=restored)
+    assert int(state2.step) == 8
+
+    rows = [json.loads(l) for l in open(os.path.join(logs, "metrics.jsonl"))]
+    steps = [r["step"] for r in rows if "steps_per_sec" in r]
+    assert steps == [2, 4, 6, 8], steps
+    saved = sorted(int(s) for s in os.listdir(os.path.join(ckpt, "steps")))
+    assert 8 in saved
+
+    # a target the state has already reached is a loud no-op
+    state3 = train_from_store(GAN, tc, AUDIO, store, total_steps=8,
+                              state=state2)
+    assert int(state3.step) == 8
+
+
+def test_streamed_train_resume_continues_numbering(tmp_path):
+    """Same absolute-target semantics for the streamed loop."""
+    import json
+    import os
+
+    from music2dance_tpu.data.pipeline import SyntheticClipSource, make_dataset
+    from music2dance_tpu.train.loop import train
+
+    src = SyntheticClipSource(6, 1.0, AUDIO, LAYOUT, seed=0)
+    tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
+                     log_every=2, ckpt_every=4)
+    logs = str(tmp_path / "logs")
+
+    def ds():
+        return iter(make_dataset(src, tc.batch_size, tc.clip_seconds, AUDIO,
+                                 seed=0))
+
+    state = train(GAN, tc, AUDIO, ds(), total_steps=4, log_dir=logs)
+    assert int(state.step) == 4
+    state2 = train(GAN, tc, AUDIO, ds(), total_steps=8, log_dir=logs,
+                   state=state)
+    assert int(state2.step) == 8
+    rows = [json.loads(l) for l in open(os.path.join(logs, "metrics.jsonl"))]
+    steps = [r["step"] for r in rows if "d_loss" in r]
+    # the StepTimer logs on its own wall-clock-aware cadence; what the
+    # resume contract pins is MONOTONIC ABSOLUTE numbering across the
+    # two runs — the second run's rows continue past 4, never restart
+    assert steps == sorted(steps), steps
+    assert steps[-1] > 4 and steps[-1] <= 8, steps

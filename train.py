@@ -21,7 +21,8 @@ flags.DEFINE_string(
     "(the attention family: causal-transformer G+D, parallel over time) "
     "| attn_long (attention on whole 30 s clips via flash attention — "
     "no TBPTT)")
-flags.DEFINE_integer("steps", 100, "total train steps")
+flags.DEFINE_integer("steps", 100, "ABSOLUTE target step: a --restore'd "
+                     "run continues its numbering up to this total")
 flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
 flags.DEFINE_integer("synthetic_clips", 256, "synthetic dataset size")
