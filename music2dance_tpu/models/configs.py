@@ -52,7 +52,15 @@ class GeneratorConfig:
     tr_heads: int = 4
     tr_mlp_ratio: int = 4
     attn_impl: str = "auto"        # "auto" | "xla" | "flash" (models/transformer.py)
-    # pose head MLP
+    # mixture-of-experts MLP (arch="transformer" only): moe_experts > 1
+    # replaces every block's dense MLP with a top-k routed expert bank
+    # (models/transformer.py MoEMLP — GShard dense-dispatch formulation;
+    # expert weights stack on a leading [E, ...] dim that the expert
+    # mesh axis shards, parallel/ep.py). 0/1 = dense MLP.
+    moe_experts: int = 0
+    moe_topk: int = 2              # experts per token (<= moe_experts)
+    moe_capacity: float = 1.25     # per-expert slots = ceil(cap*topk*T/E);
+    #   tokens over capacity pass through the block's residual unchanged
     head_hidden: int = 256
     residual_pose: bool = True     # predict pose deltas, integrate over time
     autoregressive: bool = True    # feed previous pose back into the core

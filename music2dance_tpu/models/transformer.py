@@ -161,8 +161,92 @@ class MultiHeadSelfAttention(nn.Module):
         )
 
 
+class MoEMLP(nn.Module):
+    """Mixture-of-experts MLP: top-k routing + capacity-bounded dense
+    dispatch (the GShard/Switch formulation — the TPU-native MoE shape).
+
+    Everything is STATIC-SHAPED einsums so XLA tiles it onto the MXU: a
+    router picks top-k experts per token, tokens claim one of
+    ``C = ceil(capacity * topk * T / E)`` slots per (expert, batch row)
+    in frame order, and two einsum contractions move tokens
+    into/out of the ``[E, B, C, D]`` expert workspace. Tokens that
+    overflow an expert's capacity contribute zero here and ride the
+    block's residual connection unchanged (standard MoE behavior).
+
+    Expert parameters are stacked on a leading ``[E, ...]`` dim — the
+    expert-parallel mesh axis shards exactly that dim (parallel/ep.py),
+    which turns the dispatch/combine einsums into the all-to-all-style
+    collectives of the GShard recipe with no manual collective code.
+
+    The router runs in f32; the Switch load-balancing auxiliary
+    ``E * sum_e f_e * P_e`` (f = top-1 dispatch fraction, P = mean router
+    prob; 1.0 at perfect balance) is sown into the "losses" collection —
+    the train step adds ``tc.moe_aux_weight`` times its block-mean to the
+    generator loss. Second-order safety: only the CRITIC is ever
+    differentiated twice (WGAN-GP), and the critic has no MoE path, so
+    the piecewise top-k routing never sits under grad-of-grad.
+    """
+
+    d_model: int
+    n_experts: int
+    topk: int
+    capacity: float
+    mlp_ratio: int
+    dtype: str
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        e, k = self.n_experts, self.topk
+        if not 1 <= k <= e:
+            raise ValueError(f"moe_topk={k} must be in [1, moe_experts={e}]")
+        f = self.mlp_ratio * d
+        wi = self.param("wi", nn.initializers.lecun_normal(), (e, d, f))
+        bi = self.param("bi", nn.initializers.zeros, (e, f))
+        wo = self.param("wo", nn.initializers.lecun_normal(), (e, f, d))
+        bo = self.param("bo", nn.initializers.zeros, (e, d))
+
+        logits = nn.Dense(e, name="router", dtype="float32")(
+            x.astype(jnp.float32)
+        )                                                   # [B,T,E]
+        probs = jax.nn.softmax(logits, axis=-1)
+        gate_v, gate_i = jax.lax.top_k(probs, k)            # [B,T,K]
+        gate_v = gate_v / (jnp.sum(gate_v, -1, keepdims=True) + 1e-9)
+
+        cap = max(1, int(np.ceil(self.capacity * k * t / e)))
+        counts = jnp.zeros((b, e), jnp.int32)
+        disp = jnp.zeros((b, t, e, cap), jnp.float32)
+        comb = jnp.zeros((b, t, e, cap), jnp.float32)
+        for j in range(k):  # static unroll — topk is config
+            m = jax.nn.one_hot(gate_i[..., j], e, dtype=jnp.int32)  # [B,T,E]
+            # slot index = how many earlier tokens (and earlier k-ranks)
+            # already claimed this expert in this batch row
+            pos = counts[:, None, :] + jnp.cumsum(m, axis=1) - m
+            keep = ((pos < cap) & (m > 0)).astype(jnp.float32)
+            slot = jax.nn.one_hot(pos, cap) * keep[..., None]  # [B,T,E,C]
+            disp = disp + slot
+            comb = comb + gate_v[..., j][..., None, None] * slot
+            counts = counts + jnp.sum(m, axis=1)
+
+        cdt = x.dtype
+        xin = jnp.einsum("btec,btd->ebcd", disp.astype(cdt), x)
+        h = jnp.einsum("ebcd,edf->ebcf", xin, wi.astype(cdt))
+        h = nn.gelu(h + bi.astype(cdt)[:, None, None])
+        out = jnp.einsum("ebcf,efd->ebcd", h, wo.astype(cdt))
+        out = out + bo.astype(cdt)[:, None, None]
+        y = jnp.einsum("btec,ebcd->btd", comb.astype(cdt), out)
+
+        me = jnp.mean(probs.reshape(-1, e), axis=0)
+        ce = jnp.mean(jax.nn.one_hot(gate_i[..., 0], e).reshape(-1, e), axis=0)
+        self.sow("losses", "moe_aux", e * jnp.sum(me * ce))
+        return y
+
+
 class TransformerBlock(nn.Module):
-    """Pre-LN block: x + Attn(LN(x)) then x + MLP(LN(x))."""
+    """Pre-LN block: x + Attn(LN(x)) then x + MLP(LN(x)).
+
+    ``moe_experts > 1`` swaps the dense MLP for the routed expert bank
+    (MoEMLP) — attention, norms, and residuals are unchanged."""
 
     d_model: int
     heads: int
@@ -170,6 +254,9 @@ class TransformerBlock(nn.Module):
     dtype: str
     causal: bool
     attn_impl: str = "auto"
+    moe_experts: int = 0
+    moe_topk: int = 2
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x):
@@ -180,10 +267,16 @@ class TransformerBlock(nn.Module):
         )(h)
         x = x + h
         h = nn.LayerNorm(name="ln2")(x)
-        h = nn.Dense(self.mlp_ratio * self.d_model, name="mlp_in",
-                     dtype=self.dtype)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.d_model, name="mlp_out", dtype=self.dtype)(h)
+        if self.moe_experts > 1:
+            h = MoEMLP(
+                self.d_model, self.moe_experts, self.moe_topk,
+                self.moe_capacity, self.mlp_ratio, self.dtype, name="moe",
+            )(h)
+        else:
+            h = nn.Dense(self.mlp_ratio * self.d_model, name="mlp_in",
+                         dtype=self.dtype)(h)
+            h = nn.gelu(h)
+            h = nn.Dense(self.d_model, name="mlp_out", dtype=self.dtype)(h)
         return x + h
 
 
@@ -231,6 +324,8 @@ class TransformerGenerator(nn.Module):
             x = TransformerBlock(
                 cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,
                 cfg.dtype, causal=True, attn_impl=cfg.attn_impl,
+                moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk,
+                moe_capacity=cfg.moe_capacity,
                 name=f"block_{i}",
             )(x)
         x = nn.LayerNorm(name="ln_f")(x)

@@ -1,12 +1,15 @@
 """Parallelism: device mesh, shard_map data parallelism, GSPMD tensor
 parallelism for wide models, GSPMD sequence (context) parallelism for
-the attention family's long clips, multi-host (DCN) initialization."""
+the attention family's long clips, GSPMD expert parallelism for MoE
+generators, multi-host (DCN) initialization."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
 from .distributed import initialize, make_global_mesh, per_host_batch_size
 from .tp import (
+    EXPERT_AXIS,
     MODEL_AXIS,
+    check_ep_divisibility,
     make_mesh_2d,
     tp_decode,
     tp_shardings,
@@ -14,11 +17,17 @@ from .tp import (
     tp_train_step,
 )
 from .sp import SEQ_AXIS, make_mesh_3d, sp_decode, sp_train_step
+from .ep import ep_decode, ep_train_step, make_mesh_ep
 
 __all__ = [
     "DATA_AXIS",
+    "EXPERT_AXIS",
     "MODEL_AXIS",
     "SEQ_AXIS",
+    "check_ep_divisibility",
+    "ep_decode",
+    "ep_train_step",
+    "make_mesh_ep",
     "make_mesh_3d",
     "sp_decode",
     "sp_train_step",

@@ -59,6 +59,7 @@ from ..train.config import TrainConfig
 from .mesh import DATA_AXIS
 
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh_2d(
@@ -109,6 +110,27 @@ def check_tp_divisibility(gan: GANConfig, n_model: int) -> None:
         )
 
 
+def check_ep_divisibility(gan: GANConfig, n_expert: int) -> None:
+    """Expert parallelism needs a routed generator whose expert count
+    splits evenly over the axis (GSPMD would pad-and-mask silently)."""
+    if n_expert <= 1:
+        return
+    g = gan.generator
+    if g.arch != "transformer" or g.moe_experts <= 1:
+        raise ValueError(
+            "expert parallelism needs a generator with MoE blocks "
+            f"(arch='transformer', moe_experts > 1; got arch={g.arch!r}, "
+            f"moe_experts={g.moe_experts}) — set GeneratorConfig."
+            "moe_experts or drop the expert mesh axis"
+        )
+    if g.moe_experts % n_expert:
+        raise ValueError(
+            f"expert axis of {n_expert} does not divide "
+            f"generator.moe_experts={g.moe_experts} — pick an expert "
+            "count that is a multiple of the axis"
+        )
+
+
 # Attention family (models/transformer.py): q/k/v are the Megatron
 # column side (heads shard naturally with the output dim), the out
 # projection and mlp_out are the row side — one psum per attention and
@@ -128,9 +150,22 @@ def _module_base(name: str) -> str:
     return name
 
 
-def _leaf_spec(path, leaf) -> P:
+# MoE expert banks (models/transformer.py MoEMLP): parameters stacked on
+# a leading [E, ...] expert dim — the expert-parallel axis shards exactly
+# that dim (parallel/ep.py); the router stays replicated (it is O(W)).
+_EXPERT_STACKED = ("wi", "bi", "wo", "bo")
+
+
+def _leaf_spec(path, leaf, axes=(MODEL_AXIS,)) -> P:
     names = [k.key for k in path if isinstance(k, jax.tree_util.DictKey)]
+    if len(names) >= 2 and names[-2] == "moe" and names[-1] in _EXPERT_STACKED:
+        if EXPERT_AXIS in axes:
+            ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+            return P(EXPERT_AXIS, *([None] * (ndim - 1)))
+        return P()
     if len(names) < 2 or names[-1] not in ("kernel", "bias"):
+        return P()
+    if MODEL_AXIS not in axes:
         return P()
     base = _module_base(names[-2])
     kind = names[-1]
@@ -160,17 +195,21 @@ def _force_xla_attention(gan: GANConfig) -> GANConfig:
     )
 
 
-def tp_specs(tree) -> Any:
+def tp_specs(tree, axes=(MODEL_AXIS,)) -> Any:
     """PartitionSpec tree for any params-shaped tree (raw params, EMA,
     Adam mu/nu inside optimizer states, whole TrainState): specs are
     derived from each leaf's dict path, which optax and flax.struct
-    preserve."""
-    return jax.tree_util.tree_map_with_path(_leaf_spec, tree)
+    preserve. ``axes`` filters which named axes may appear (a mesh
+    without a "model"/"expert" axis keeps those leaves replicated)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _leaf_spec(p, x, axes), tree
+    )
 
 
 def tp_shardings(tree, mesh: Mesh) -> Any:
+    axes = tuple(mesh.axis_names)
     return jax.tree_util.tree_map_with_path(
-        lambda p, x: NamedSharding(mesh, _leaf_spec(p, x)), tree
+        lambda p, x: NamedSharding(mesh, _leaf_spec(p, x, axes)), tree
     )
 
 
@@ -197,7 +236,8 @@ def tp_train_step(
     """
     from ..train.step import make_train_step
 
-    check_tp_divisibility(gan, mesh.shape[MODEL_AXIS])
+    check_tp_divisibility(gan, mesh.shape.get(MODEL_AXIS, 1))
+    check_ep_divisibility(gan, mesh.shape.get(EXPERT_AXIS, 1))
     gan = _force_xla_attention(gan)
     state_sh = tp_shardings(state, mesh)
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
@@ -219,7 +259,8 @@ def tp_decode(gan: GANConfig, mesh: Mesh, g_params):
     (g_params, feats [B,T,F], key, lengths [B]) -> poses."""
     from ..infer.decode import decode_poses
 
-    check_tp_divisibility(gan, mesh.shape[MODEL_AXIS])
+    check_tp_divisibility(gan, mesh.shape.get(MODEL_AXIS, 1))
+    check_ep_divisibility(gan, mesh.shape.get(EXPERT_AXIS, 1))
     gan = _force_xla_attention(gan)
     p_sh = tp_shardings(g_params, mesh)
     data = NamedSharding(mesh, P(DATA_AXIS))

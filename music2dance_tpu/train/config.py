@@ -49,6 +49,9 @@ class TrainConfig:
     #   L1 between critic conv features of real vs fake (losses.
     #   feature_matching). >0 adds one XLA critic feature pass per G
     #   update (the fused critic path doesn't expose conv intermediates)
+    moe_aux_weight: float = 0.01   # Switch load-balancing aux weight when
+    #   the generator uses MoE blocks (generator.moe_experts > 1); the
+    #   aux is the block-mean of E*sum_e f_e*P_e (1.0 at perfect balance)
     # truncated BPTT (0 = disabled; BASELINE config #4 uses 30 s clips)
     tbptt_window: int = 0
     tbptt_remat: bool = False      # jax.checkpoint each window update

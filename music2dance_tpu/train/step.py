@@ -89,6 +89,11 @@ def init_state(
     kg, kd, kz, krest = jax.random.split(key, 4)
     z = jax.random.normal(kz, (feats.shape[0], gan.generator.noise_dim))
     g_params = gen.init(kg, feats, z)
+    if "losses" in g_params:
+        # MoE generators sow their load-balancing aux into a "losses"
+        # collection; only the "params" collection is trainable state
+        # (the aux is re-sown at apply time via mutable=["losses"])
+        g_params = {"params": g_params["params"]}
     d_params = disc.init(kd, poses, feats if gan.discriminator.conditional else None)
     tx_g, tx_d = make_optimizers(tc)
     return TrainState(
@@ -307,13 +312,28 @@ def make_train_step(
             aux["fm"] = fm
         return extra, aux
 
+    moe_on = (
+        gan.generator.arch == "transformer" and gan.generator.moe_experts > 1
+    )
+
     def g_loss_fn(g_params, d_params, batch, key):
         feats = batch["feats"]
-        fake = sample_fake(g_params, feats, key)
+        if moe_on:
+            # MoE blocks sow their Switch load-balancing aux; collect it
+            # with a mutable apply and add the block-mean to the loss
+            z = sample_z(key, feats.shape[0], feats.dtype)
+            fake, sown = gen.apply(g_params, feats, z, mutable=["losses"])
+        else:
+            fake = sample_fake(g_params, feats, key)
         s_fake = critic_scores(d_params, fake, feats)
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
         extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
         loss = loss + extra
+        if moe_on:
+            vals = jax.tree.leaves(sown)
+            moe_aux = sum(vals) / len(vals)
+            loss = loss + tc.moe_aux_weight * moe_aux
+            aux = dict(aux, moe_aux=moe_aux)
         return loss, {"g_loss": loss, **aux}
 
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:

@@ -57,6 +57,12 @@ flags.DEFINE_bool("bf16", False, "bfloat16 compute dtype (params stay f32)")
 flags.DEFINE_enum("cell", "", ["", "gru", "lstm"],
                   "recurrent cell family for G and D (default: preset's, "
                   "gru). Both ride the same fused kernel bank.")
+flags.DEFINE_integer("moe_experts", 0, "mixture-of-experts MLP in the "
+                     "generator's attention blocks (attn/attn_long presets "
+                     "only): number of experts (0 = dense MLP). Expert "
+                     "weights shard over an expert mesh axis "
+                     "(parallel/ep.py) at scale-out")
+flags.DEFINE_integer("moe_topk", 2, "experts per token for --moe_experts")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
 flags.DEFINE_integer("ckpt_every", 0, "checkpoint cadence in steps (0 = preset "
                      "default, 500). The async save fetches the whole "
@@ -131,6 +137,24 @@ def main(argv):
                 generator=dataclasses.replace(p.gan.generator, **over),
                 discriminator=dataclasses.replace(p.gan.discriminator, **over),
             ),
+        )
+    if FLAGS.moe_experts > 0:
+        import dataclasses
+
+        if p.gan.generator.arch != "transformer":
+            raise app.UsageError(
+                "--moe_experts needs an attention-family preset "
+                "(attn/attn_long): the MoE MLP lives in the transformer "
+                f"blocks, and preset {FLAGS.preset!r} is arch="
+                f"{p.gan.generator.arch!r}"
+            )
+        p = dataclasses.replace(
+            p, gan=dataclasses.replace(
+                p.gan, generator=dataclasses.replace(
+                    p.gan.generator, moe_experts=FLAGS.moe_experts,
+                    moe_topk=FLAGS.moe_topk,
+                )
+            )
         )
     if FLAGS.log_every > 0:
         import dataclasses
