@@ -158,11 +158,27 @@ def transformer_fwd_flops(cfg, b, t, is_critic=False, in_dim=None):
         for _ in range(cfg.enc_layers - 1):
             f += _mm(b * t, cfg.enc_kernel * cfg.enc_dim, cfg.enc_dim)
         f += _mm(b * t, cfg.enc_dim + cfg.noise_dim, d)   # in_proj
+    moe = (not is_critic) and getattr(cfg, "moe_experts", 0) > 1
+    if moe:
+        import math
+
+        e = cfg.moe_experts
+        cap = max(1, math.ceil(cfg.moe_capacity * cfg.moe_topk * t / e))
     for _ in range(cfg.tr_blocks):
         f += 4 * _mm(b * t, d, d)                         # q, k, v, out
         f += 2 * _mm(b, t * t, d)                         # QK^T + A·V
-        f += _mm(b * t, d, cfg.tr_mlp_ratio * d)          # mlp_in
-        f += _mm(b * t, cfg.tr_mlp_ratio * d, d)          # mlp_out
+        if moe:
+            # GShard dense dispatch: the [B,T,E,C] dispatch/combine
+            # einsums contract over T (an O(T*E*C) ~ O(T^2) term — the
+            # known cost of static-shaped MoE), the expert FFN runs all
+            # E*C slots whether or not they are filled
+            f += _mm(b * t, d, e)                         # router
+            f += 2 * _mm(b * e * cap, t, d)               # dispatch+combine
+            f += _mm(b * e * cap, d, cfg.tr_mlp_ratio * d)  # expert in
+            f += _mm(b * e * cap, cfg.tr_mlp_ratio * d, d)  # expert out
+        else:
+            f += _mm(b * t, d, cfg.tr_mlp_ratio * d)      # mlp_in
+            f += _mm(b * t, cfg.tr_mlp_ratio * d, d)      # mlp_out
     if is_critic:
         f += _mm(b * t, d, 1)                             # score
     else:

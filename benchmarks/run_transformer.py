@@ -101,6 +101,18 @@ def main():
                         "rnn_train_b32_6s", args.steps)
     emit("train_speedup_attn_vs_rnn", ratio=round(sps_a / sps_r, 2))
 
+    # MoE generator (8 experts, top-2): ~2x the dense MLP FLOPs per
+    # token (topk * capacity) buying 8x the MLP parameter capacity;
+    # the MFU accounting includes the dense-dispatch einsums
+    import dataclasses as _dc0
+
+    moe = _dc0.replace(
+        attn, generator=_dc0.replace(attn.generator,
+                                     moe_experts=8, moe_topk=2),
+    )
+    bench_train(moe, tc, batch, t, args.dtype,
+                "attn_moe8_train_b32_6s", args.steps)
+
     fps_a = bench_decode(attn, 64, 6.0, audio, "attn_decode_b64_6s")
     fps_r = bench_decode(rnn, 64, 6.0, audio, "rnn_decode_b64_6s")
     emit("decode_speedup_attn_vs_rnn", ratio=round(fps_a / fps_r, 2))

@@ -18,12 +18,24 @@ from .tp import (
 )
 from .sp import SEQ_AXIS, make_mesh_3d, sp_decode, sp_train_step
 from .ep import ep_decode, ep_train_step, make_mesh_ep
+from .pp import (
+    STAGE_AXIS,
+    make_mesh_pp,
+    pp_export_params,
+    pp_import_state,
+    pp_train_step,
+)
 
 __all__ = [
     "DATA_AXIS",
     "EXPERT_AXIS",
     "MODEL_AXIS",
     "SEQ_AXIS",
+    "STAGE_AXIS",
+    "make_mesh_pp",
+    "pp_export_params",
+    "pp_import_state",
+    "pp_train_step",
     "check_ep_divisibility",
     "ep_decode",
     "ep_train_step",

@@ -112,6 +112,7 @@ def make_train_step(
     tc: TrainConfig,
     axis_name: Optional[str] = None,
     fused: Optional[bool] = None,
+    gen_apply=None,
 ):
     """Build ``train_step(state, batch) -> (state, metrics)``.
 
@@ -123,9 +124,18 @@ def make_train_step(
     active and the configs support them (the default); True = force them
     (interpret mode off-TPU — used by the CPU equivalence tests); False =
     pure XLA.
+
+    ``gen_apply``: optional ``(g_params, feats, z) -> poses`` override of
+    the generator forward — used by parallel/pp.py to substitute the
+    pipelined block schedule while keeping every other piece of the step
+    (alternating phases, GP, EMA, augmentation) byte-identical. Must be
+    differentiable wrt g_params.
     """
     gen = build_generator(gan.generator)
     disc = build_discriminator(gan.discriminator)
+    if gen_apply is not None and fused:
+        raise ValueError("gen_apply overrides are XLA-path only (fused "
+                         "kernels apply the factory generator)")
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
 
@@ -210,6 +220,8 @@ def make_train_step(
             return fused_apply_diff(
                 g_params, gan.generator, feats, z, interpret=gen_interpret
             )
+        if gen_apply is not None:
+            return gen_apply(g_params, feats, z)
         return gen.apply(g_params, feats, z)
 
     def critic_scores(d_params, poses, feats):
@@ -315,6 +327,12 @@ def make_train_step(
     moe_on = (
         gan.generator.arch == "transformer" and gan.generator.moe_experts > 1
     )
+    if moe_on and gen_apply is not None:
+        raise ValueError(
+            "gen_apply overrides cannot collect the MoE aux loss (it is "
+            "sown via a mutable flax apply) — parallel/pp.py gates MoE "
+            "generators out for this reason"
+        )
 
     def g_loss_fn(g_params, d_params, batch, key):
         feats = batch["feats"]
