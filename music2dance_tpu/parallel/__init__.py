@@ -1,7 +1,8 @@
 """Parallelism: device mesh, shard_map data parallelism, GSPMD tensor
 parallelism for wide models, GSPMD sequence (context) parallelism for
 the attention family's long clips, GSPMD expert parallelism for MoE
-generators, multi-host (DCN) initialization."""
+generators, FSDP (ZeRO-3) state sharding over the data axis, GPipe
+pipeline parallelism, multi-host (DCN) initialization."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
@@ -17,6 +18,13 @@ from .tp import (
     tp_train_step,
 )
 from .sp import SEQ_AXIS, make_mesh_3d, sp_decode, sp_train_step
+from .fsdp import (
+    FSDP_MIN_SIZE,
+    fsdp_report,
+    fsdp_shardings,
+    fsdp_specs,
+    fsdp_train_step,
+)
 from .ep import ep_decode, ep_train_step, make_mesh_ep
 from .pp import (
     STAGE_AXIS,
@@ -40,6 +48,11 @@ __all__ = [
     "ep_decode",
     "ep_train_step",
     "make_mesh_ep",
+    "FSDP_MIN_SIZE",
+    "fsdp_report",
+    "fsdp_shardings",
+    "fsdp_specs",
+    "fsdp_train_step",
     "make_mesh_3d",
     "sp_decode",
     "sp_train_step",
