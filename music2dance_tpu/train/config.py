@@ -52,6 +52,19 @@ class TrainConfig:
     moe_aux_weight: float = 0.01   # Switch load-balancing aux weight when
     #   the generator uses MoE blocks (generator.moe_experts > 1); the
     #   aux is the block-mean of E*sum_e f_e*P_e (1.0 at perfect balance)
+    # gradient accumulation (1 = off): each optimizer update averages
+    # gradients over grad_accum microbatch slices of the step's batch,
+    # computed sequentially inside a lax.scan — peak activation memory
+    # drops to one slice's worth while the update is EXACTLY the
+    # big-batch update (every loss term is a per-example mean, and the
+    # per-example RNG keys are global-index-derived, so slicing changes
+    # nothing but reduction order — tests/test_grad_accum.py). The one
+    # exception: a MoE generator's Switch aux is a per-microbatch
+    # statistic (f_e*P_e is nonlinear in the batch), so with MoE the
+    # aux regularizer is averaged per-slice rather than batch-global.
+    # Mutually exclusive with TBPTT (its window scan already bounds
+    # live memory; compose windows instead).
+    grad_accum: int = 1
     # truncated BPTT (0 = disabled; BASELINE config #4 uses 30 s clips)
     tbptt_window: int = 0
     tbptt_remat: bool = False      # jax.checkpoint each window update

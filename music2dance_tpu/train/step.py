@@ -147,16 +147,25 @@ def make_train_step(
     def disc_apply(d_params, poses, feats):
         return disc.apply(d_params, poses, feats if cond else None)
 
-    def per_example_keys(key: jax.Array, local_b: int) -> jax.Array:
+    def per_example_keys(
+        key: jax.Array, local_b: int, offset=0, device_b: int | None = None
+    ) -> jax.Array:
         """Keys derived from each example's GLOBAL batch index.
 
         Randomness (noise z, GP interpolation alpha) is attached to the
         example, not the device, so a shard_map-ed step reproduces the
         single-device step exactly (tested in tests/test_dp.py).
+
+        ``offset``/``device_b``: under gradient accumulation a call sees
+        a SLICE of the device batch — ``offset`` is the slice start and
+        ``device_b`` the full per-device batch (the axis-index stride),
+        so a sliced step draws exactly the keys the big batch would
+        (tests/test_grad_accum.py).
         """
-        start = 0
+        start = offset
         if axis_name is not None:
-            start = jax.lax.axis_index(axis_name) * local_b
+            stride = device_b if device_b is not None else local_b
+            start = start + jax.lax.axis_index(axis_name) * stride
         idx = start + jnp.arange(local_b)
         return jax.vmap(jax.random.fold_in, (None, 0))(key, idx)
 
@@ -200,14 +209,15 @@ def make_train_step(
         gen_interpret = True
         fused_gen_ok = fused_critic_ok = False
 
-    def sample_z(key, b, dtype):
-        keys = per_example_keys(key, b)
+    def sample_z(key, b, dtype, offset=0, device_b=None):
+        keys = per_example_keys(key, b, offset, device_b)
         return jax.vmap(
             lambda k: jax.random.normal(k, (gan.generator.noise_dim,), dtype)
         )(keys)
 
-    def sample_fake(g_params, feats, key, forward_only=False):
-        z = sample_z(key, feats.shape[0], feats.dtype)
+    def sample_fake(g_params, feats, key, forward_only=False, offset=0,
+                    device_b=None):
+        z = sample_z(key, feats.shape[0], feats.dtype, offset, device_b)
         if fused_gen_ok:
             if forward_only:
                 return fused_apply(
@@ -232,7 +242,8 @@ def make_train_step(
             )
         return disc_apply(d_params, poses, feats)
 
-    def d_loss_fn(d_params, g_params, batch, key, fake=None):
+    def d_loss_fn(d_params, g_params, batch, key, fake=None, offset=0,
+                  device_b=None):
         """Critic loss. Fused path: the whole critic-phase core — real and
         fake scores AND the GP's second-order path — as ONE merged op
         (ops/fused_dcore.py): a single hoisted conv stack and a single
@@ -248,10 +259,11 @@ def make_train_step(
         k_z, k_gp = jax.random.split(key)
         if fake is None:
             fake = jax.lax.stop_gradient(
-                sample_fake(g_params, feats, k_z, forward_only=True)
+                sample_fake(g_params, feats, k_z, forward_only=True,
+                            offset=offset, device_b=device_b)
             )
         alpha = jax.vmap(lambda k: jax.random.uniform(k, (), real.dtype))(
-            per_example_keys(k_gp, b)
+            per_example_keys(k_gp, b, offset, device_b)
         )
         a = alpha.reshape((b,) + (1,) * (real.ndim - 1))
         x_hat = a * real + (1.0 - a) * fake
@@ -334,15 +346,16 @@ def make_train_step(
             "generators out for this reason"
         )
 
-    def g_loss_fn(g_params, d_params, batch, key):
+    def g_loss_fn(g_params, d_params, batch, key, offset=0, device_b=None):
         feats = batch["feats"]
         if moe_on:
             # MoE blocks sow their Switch load-balancing aux; collect it
             # with a mutable apply and add the block-mean to the loss
-            z = sample_z(key, feats.shape[0], feats.dtype)
+            z = sample_z(key, feats.shape[0], feats.dtype, offset, device_b)
             fake, sown = gen.apply(g_params, feats, z, mutable=["losses"])
         else:
-            fake = sample_fake(g_params, feats, key)
+            fake = sample_fake(g_params, feats, key, offset=offset,
+                               device_b=device_b)
         s_fake = critic_scores(d_params, fake, feats)
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
         extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
@@ -387,10 +400,22 @@ def make_train_step(
         # paths sample the same z.
         from ..ops.fused_gdual import fused_dual_apply, supports_dual
 
-        use_dual = fused_gen_ok and supports_dual(
+        K = tc.grad_accum
+        if K > 1 and b % K:
+            raise ValueError(
+                f"grad_accum={K} does not divide the per-device batch {b}"
+            )
+        mb = b // K
+
+        use_dual = K == 1 and fused_gen_ok and supports_dual(
             gan.generator, tc.n_critic * b, interpret=gen_interpret
         )
-        if fused_gen_ok and not use_dual:
+        if fused_gen_ok and K > 1:
+            warn_once(
+                "dual generator kernel disabled under gradient accumulation "
+                "— each microbatch rides the per-phase fused scans"
+            )
+        elif fused_gen_ok and not use_dual:
             warn_once(
                 f"dual generator kernel disabled — n_critic*batch = "
                 f"{tc.n_critic * b} is not a multiple of 8; falling back to "
@@ -411,14 +436,60 @@ def make_train_step(
                 state.g_params,
             )
 
+        def accum(loss_fn, params):
+            """(aux, grads) of ``loss_fn(params, mbatch, offset)`` averaged
+            over the K microbatch slices, computed sequentially in a
+            lax.scan so only ONE slice's activations are ever live.
+
+            The average IS the big-batch result: every loss term is a
+            per-example mean (train/losses.py) and the slices are equal-
+            size, so gradients match at reduction order; the offset keys
+            each slice's RNG to its global example indices."""
+            mbatches = jax.tree.map(
+                lambda x: x.reshape((K, mb) + x.shape[1:]), batch
+            )
+            first = jax.tree.map(lambda x: x[0], mbatches)
+            aux_sds = jax.eval_shape(
+                lambda p, s: loss_fn(p, s, 0)[1], params, first
+            )
+
+            def body(carry, xs):
+                g_acc, a_acc = carry
+                mbt, off = xs
+                (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mbt, off
+                )
+                return (
+                    jax.tree.map(jnp.add, g_acc, grads),
+                    jax.tree.map(jnp.add, a_acc, aux),
+                ), None
+
+            g0 = jax.tree.map(jnp.zeros_like, params)
+            a0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_sds)
+            offsets = jnp.arange(K, dtype=jnp.int32) * mb
+            (g_sum, a_sum), _ = jax.lax.scan(body, (g0, a0), (mbatches, offsets))
+            inv = 1.0 / K
+            return (
+                jax.tree.map(lambda a: a * inv, a_sum),
+                jax.tree.map(lambda g: g * inv, g_sum),
+            )
+
         d_params, opt_d = state.d_params, state.opt_d
         metrics = {}
         for i in range(tc.n_critic):  # static unroll — n_critic is config
             k = jax.random.fold_in(base, i)
-            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                d_params, state.g_params, batch, k,
-                fakes_fwd[i] if use_dual else None,
-            )
+            if K > 1:
+                aux, grads = accum(
+                    lambda p, mbt, off: d_loss_fn(
+                        p, state.g_params, mbt, k, None, off, b
+                    ),
+                    d_params,
+                )
+            else:
+                (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    d_params, state.g_params, batch, k,
+                    fakes_fwd[i] if use_dual else None,
+                )
             grads = pmean(grads)
             updates, opt_d = tx_d.update(grads, opt_d, d_params)
             d_params = optax.apply_updates(d_params, updates)
@@ -442,6 +513,12 @@ def make_train_step(
                 ([jnp.zeros_like(f) for f in fakes_fwd], dfake)
             )
             g_aux = {"g_loss": g_loss_val, **fm_aux}
+        elif K > 1:
+            k = jax.random.fold_in(base, tc.n_critic)
+            g_aux, g_grads = accum(
+                lambda p, mbt, off: g_loss_fn(p, d_params, mbt, k, off, b),
+                state.g_params,
+            )
         else:
             k = jax.random.fold_in(base, tc.n_critic)
             (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

@@ -62,6 +62,12 @@ def make_tbptt_machinery(
     """
     if tc.tbptt_window <= 0:
         raise ValueError("tc.tbptt_window must be positive for TBPTT training")
+    if tc.grad_accum > 1:
+        raise ValueError(
+            "grad_accum and TBPTT are mutually exclusive: the window scan "
+            "already bounds live memory to one window — use a smaller "
+            "tbptt_window (or the plain step with grad_accum) instead"
+        )
     if gan.generator.arch != "rnn" or gan.discriminator.arch != "rnn":
         raise ValueError(
             "TBPTT carries recurrent state across windows and is a "

@@ -88,6 +88,11 @@ flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
+flags.DEFINE_integer("grad_accum", 0, "gradient-accumulation microbatches "
+                     "(0/1 = off): each update averages grads over K "
+                     "sequential slices of the batch — the EXACT big-batch "
+                     "update at one slice's activation memory; incompatible "
+                     "with TBPTT")
 flags.DEFINE_integer("n_critic", 0, "critic updates per alternating step "
                      "(0 = preset default). Statically unrolled in the "
                      "jitted step; the WGAN-GP convention is 5, the "
@@ -182,6 +187,8 @@ def main(argv):
         train_over["feature_matching_weight"] = FLAGS.feature_matching
     if FLAGS.grad_clip > 0:
         train_over["grad_clip_norm"] = FLAGS.grad_clip
+    if FLAGS.grad_accum > 1:
+        train_over["grad_accum"] = FLAGS.grad_accum
     if (FLAGS.aug_rotate or FLAGS.aug_mirror or FLAGS.aug_scale > 0
             or FLAGS.aug_noise > 0):
         from music2dance_tpu.data.augment import AugmentConfig
