@@ -32,13 +32,19 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[32, 64, 128])
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches per update (1 = one-shot step); the "
+                         "accumulated update is EXACT vs one-shot "
+                         "(tests/test_grad_accum.py), so rows with the same "
+                         "B are directly comparable")
     args = ap.parse_args()
 
     audio = AudioConfig()
     gan = full_gan(feature_dim=audio.n_features, dtype=args.dtype)
     base = None
     for b in args.batches:
-        tc = TrainConfig(batch_size=b, clip_seconds=6.0, n_critic=1)
+        tc = TrainConfig(batch_size=b, clip_seconds=6.0, n_critic=1,
+                         grad_accum=args.grad_accum)
         batch = jax.device_put(
             synthetic_batch(jax.random.key(0), b, 6.0, audio))
         state = init_state(jax.random.key(1), gan, tc, batch)
@@ -47,12 +53,16 @@ def main():
         eps = sps * b
         if base is None:
             base = eps
-        emit(
-            f"config3_batch{b}", dtype=args.dtype, batch=b,
+        row = dict(
+            dtype=args.dtype, batch=b, grad_accum=args.grad_accum,
             train_steps_per_sec=round(sps, 2),
             examples_per_sec=round(eps, 1),
             examples_vs_b32=round(eps / base, 2),
         )
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            row["peak_mem_mb"] = round(stats["peak_bytes_in_use"] / 2**20, 1)
+        emit(f"config3_batch{b}", **row)
 
 
 if __name__ == "__main__":

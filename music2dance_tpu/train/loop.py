@@ -25,6 +25,7 @@ from ..parallel.mesh import batch_sharding
 from ..utils.logging import MetricsLogger
 from ..utils.profiling import StepTimer, synchronize
 from .config import TrainConfig
+from .preempt import PreemptionGuard
 from .step import TrainState, init_state, make_train_step, warn_once
 from .tbptt import make_tbptt_train_step
 
@@ -187,6 +188,7 @@ def train_from_store(
     )
     done = start
     pending = None
+    guard = PreemptionGuard().install()
     try:
         while done < total_steps:
             if total_steps - done < chunk_len:  # final partial chunk
@@ -199,6 +201,18 @@ def train_from_store(
                 p, pending = pending, None
                 drain(p)
             pending = (done, chunk_len, last)
+            if guard.triggered:
+                # SIGTERM landed: finish the in-flight chunk (already
+                # dispatched), make its checkpoint durable, mark the log,
+                # and return — the grace window goes to the save, not to
+                # more compute. Resume continues at the absolute step.
+                p, pending = pending, None
+                drain(p)
+                if writer is not None:
+                    writer.save(done, state)
+                    writer.wait()
+                logger.log(done, {"preempted": 1.0})
+                return state
             do_eval = eval_every > 0 and done % eval_every == 0
             do_ckpt = ckpt_every > 0 and done % ckpt_every == 0
             if do_eval or do_ckpt:
@@ -229,6 +243,7 @@ def train_from_store(
         if writer is not None:
             writer.save(int(state.step), state)
     finally:
+        guard.restore()
         if pending is not None:
             # an interrupted run still logs its last chunk; don't let a
             # NaN row mask the original in-flight exception
@@ -312,11 +327,21 @@ def train(
             writer.close()
         logger.close()
         return state
+    guard = PreemptionGuard().install()
     try:
         for i in range(start, total_steps):
             state, metrics = step(state, batch)
             if i + 1 < total_steps:
                 batch = next(batches)
+            if guard.triggered:
+                # SIGTERM landed: durable checkpoint + data state, mark
+                # the log, return. Resume continues at the absolute step.
+                if writer is not None:
+                    writer.save(i + 1, state)
+                    writer.wait()
+                    _save_data_state(ckpt_dir, batches)
+                logger.log(int(i + 1), {"preempted": 1.0})
+                return state
             if timer.tick(metrics):
                 extra = {"steps_per_sec": timer.steps_per_sec} if timer.steps_per_sec else {}
                 row = logger.log(int(i + 1), {**metrics, **extra})
@@ -340,6 +365,7 @@ def train(
             writer.save(int(state.step), state)
             _save_data_state(ckpt_dir, batches)
     finally:
+        guard.restore()
         if writer is not None:
             writer.close()  # waits for the in-flight write
         logger.close()
