@@ -7,6 +7,15 @@ on device (data/pipeline.py), the alternating step is one jitted function
 Dispatch is asynchronous — the host is already assembling batch k+1 while
 step k runs, so the step is not input-bound (benchmarks/run_pipeline.py
 verifies).
+
+Preemption discipline (round-3 ADVICE): the SIGTERM guard is installed
+BEFORE the pipeline is primed (store/prefetcher construction and the
+first compile can take minutes at scale) and restored only AFTER the
+final checkpoint write is durable and the writer is closed — a second
+SIGTERM during the blocking wait for an in-flight async save must stay
+trapped. A signal that lands exactly on the final step/chunk takes the
+normal completion path (the run IS complete; logging it preempted would
+mislead downstream log consumers).
 """
 
 from __future__ import annotations
@@ -101,7 +110,27 @@ def train_from_store(
     throughput loop shape (no host in the step path at all); use it when
     the cached feature dataset fits in HBM.
     """
-    from .sampled import make_sampling_train_step, shard_sampling_train_step
+    # Trap SIGTERM before state init / compile (the startup window); the
+    # handler is restored by the OUTER finally — i.e. only after the
+    # inner finally has made every checkpoint write durable and closed
+    # the writer.
+    guard = PreemptionGuard().install()
+    try:
+        return _train_from_store_guarded(
+            gan, tc, audio, store, total_steps, guard,
+            ckpt_dir=ckpt_dir, log_dir=log_dir, mesh=mesh, state=state,
+            seed=seed, evaluator=evaluator, tensorboard=tensorboard,
+        )
+    finally:
+        guard.restore()
+
+
+def _train_from_store_guarded(
+    gan, tc, audio, store, total_steps, guard,
+    ckpt_dir=None, log_dir=None, mesh=None, state=None, seed=0,
+    evaluator=None, tensorboard=False,
+) -> TrainState:
+    from .sampled import make_sampling_train_step
 
     n_frames = int(round(tc.clip_seconds * audio.feature_rate))
     if state is None:
@@ -188,8 +217,12 @@ def train_from_store(
     )
     done = start
     pending = None
-    guard = PreemptionGuard().install()
     try:
+        if guard.triggered:
+            # SIGTERM during startup: nothing dispatched yet, nothing to
+            # save — exit cleanly before the first chunk.
+            logger.log(start, {"preempted": 1.0})
+            return state
         while done < total_steps:
             if total_steps - done < chunk_len:  # final partial chunk
                 chunk_len = total_steps - done
@@ -201,11 +234,14 @@ def train_from_store(
                 p, pending = pending, None
                 drain(p)
             pending = (done, chunk_len, last)
-            if guard.triggered:
-                # SIGTERM landed: finish the in-flight chunk (already
-                # dispatched), make its checkpoint durable, mark the log,
-                # and return — the grace window goes to the save, not to
-                # more compute. Resume continues at the absolute step.
+            if guard.triggered and done < total_steps:
+                # SIGTERM landed mid-run: finish the in-flight chunk
+                # (already dispatched), make its checkpoint durable, mark
+                # the log, and return — the grace window goes to the
+                # save, not to more compute. Resume continues at the
+                # absolute step. A signal on the FINAL chunk falls
+                # through to the normal completion path instead (the run
+                # is complete — don't log it preempted).
                 p, pending = pending, None
                 drain(p)
                 if writer is not None:
@@ -243,7 +279,6 @@ def train_from_store(
         if writer is not None:
             writer.save(int(state.step), state)
     finally:
-        guard.restore()
         if pending is not None:
             # an interrupted run still logs its last chunk; don't let a
             # NaN row mask the original in-flight exception
@@ -281,6 +316,25 @@ def train(
     batches (see data/pipeline.make_dataset); feature extraction happens
     on device via DevicePrefetcher.
     """
+    # Trap SIGTERM before the prefetcher is primed and the first batch is
+    # fetched (a long window at scale); restored by the outer finally
+    # only after every write is durable.
+    guard = PreemptionGuard().install()
+    try:
+        return _train_guarded(
+            gan, tc, audio, host_batches, total_steps, guard,
+            ckpt_dir=ckpt_dir, log_dir=log_dir, mesh=mesh, state=state,
+            seed=seed, evaluator=evaluator, tensorboard=tensorboard,
+        )
+    finally:
+        guard.restore()
+
+
+def _train_guarded(
+    gan, tc, audio, host_batches, total_steps, guard,
+    ckpt_dir=None, log_dir=None, mesh=None, state=None, seed=0,
+    evaluator=None, tensorboard=False,
+) -> TrainState:
     from ..data.pipeline import DevicePrefetcher
 
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -327,15 +381,20 @@ def train(
             writer.close()
         logger.close()
         return state
-    guard = PreemptionGuard().install()
     try:
+        if guard.triggered:
+            # SIGTERM during startup: no steps ran — exit cleanly.
+            logger.log(start, {"preempted": 1.0})
+            return state
         for i in range(start, total_steps):
             state, metrics = step(state, batch)
             if i + 1 < total_steps:
                 batch = next(batches)
-            if guard.triggered:
-                # SIGTERM landed: durable checkpoint + data state, mark
-                # the log, return. Resume continues at the absolute step.
+            if guard.triggered and i + 1 < total_steps:
+                # SIGTERM landed mid-run: durable checkpoint + data
+                # state, mark the log, return. Resume continues at the
+                # absolute step. A signal on the final step takes the
+                # normal completion path (the run is complete).
                 if writer is not None:
                     writer.save(i + 1, state)
                     writer.wait()
@@ -365,7 +424,6 @@ def train(
             writer.save(int(state.step), state)
             _save_data_state(ckpt_dir, batches)
     finally:
-        guard.restore()
         if writer is not None:
             writer.close()  # waits for the in-flight write
         logger.close()

@@ -16,7 +16,6 @@ on a pod slice.
 
 from __future__ import annotations
 
-import warnings
 from typing import Any, Optional
 
 import chex
@@ -26,20 +25,11 @@ import jax.numpy as jnp
 import optax
 
 from ..models import GANConfig, build_discriminator, build_generator
+from ..utils.warn import warn_once  # noqa: F401 — canonical home moved to
+#   utils.warn (leaf module) so the model layer can emit routing warnings
+#   too; re-exported here because loop/tbptt/tests import it from step.
 from .config import TrainConfig
 from .losses import critic_loss, feature_matching, generator_loss
-
-_warned: set[str] = set()
-
-
-def warn_once(msg: str) -> None:
-    """Emit each distinct fallback warning once per process. Fused-path
-    envelope fallbacks must never be silent (a user benchmarking an
-    unsupported config would see ~3.4x worse steps/s with no explanation
-    — round-2 VERDICT weak #3)."""
-    if msg not in _warned:
-        _warned.add(msg)
-        warnings.warn(msg, stacklevel=2)
 
 
 @flax.struct.dataclass
