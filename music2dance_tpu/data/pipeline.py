@@ -130,14 +130,20 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
 
     ``target_sr``: resample every song to this rate on load (librosa.load
     semantics — the reference corpus may mix 44.1 kHz and 22.05 kHz files).
-    ``bvh_joints``/``bvh_scale``: joint selection/ordering and unit scale
-    forwarded to :func:`data.bvh.load_bvh_poses`.
+    ``bvh_joints``/``bvh_scale``/``bvh_center_root``: joint selection/
+    ordering, unit scale, and root-centering forwarded to
+    :func:`data.bvh.load_bvh_poses` (center_root is the standard dance-
+    corpus normalization but destroys absolute postures — corpora whose
+    .npy/.json clips are NOT centered, e.g. make_corpus.py output, must
+    pass ``bvh_center_root=False`` so the .bvh clips follow the same
+    distribution).
     """
 
     def __init__(self, root: str, target_sr: Optional[int] = None,
                  pose_fps: Optional[float] = None,
                  bvh_joints: Optional[Sequence[str]] = None,
-                 bvh_scale: Optional[float] = None):
+                 bvh_scale: Optional[float] = None,
+                 bvh_center_root: bool = True):
         from .wav import SUPPORTED_EXTENSIONS, load_wav
 
         self._load_wav = load_wav
@@ -145,6 +151,7 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
         self._pose_fps = pose_fps
         self._bvh_joints = bvh_joints
         self._bvh_scale = bvh_scale
+        self._bvh_center_root = bvh_center_root
         wavs = sorted(f for f in os.listdir(root)
                       if f.endswith(SUPPORTED_EXTENSIONS))
         self._pairs = []
@@ -184,7 +191,8 @@ class WavPoseSource(grain.sources.RandomAccessDataSource):
 
             pose = load_bvh_poses(
                 pose_path, fps_out=self._pose_fps,
-                joints=self._bvh_joints, scale=self._bvh_scale)
+                joints=self._bvh_joints, scale=self._bvh_scale,
+                center_root=self._bvh_center_root)
         elif pose_path.endswith(".json"):
             pose = load_poses(pose_path)
         else:

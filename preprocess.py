@@ -19,6 +19,11 @@ flags.DEFINE_list("bvh_joints", None,
                   "default keeps every skeleton joint")
 flags.DEFINE_float("bvh_scale", None,
                    "unit scale applied to .bvh joint positions")
+flags.DEFINE_bool("bvh_center_root", True,
+                  "subtract the root position per frame when ingesting "
+                  ".bvh poses (standard dance-corpus normalization; pass "
+                  "--nobvh_center_root for corpora whose .npy/.json clips "
+                  "are not centered, e.g. make_corpus.py output)")
 flags.DEFINE_bool("synthetic", False, "generate a synthetic corpus instead")
 flags.DEFINE_integer("synthetic_clips", 64, "synthetic corpus size")
 flags.DEFINE_float("synthetic_seconds", 6.0, "synthetic clip length")
@@ -43,7 +48,8 @@ def main(argv):
     if FLAGS.data_dir:
         source = WavPoseSource(
             FLAGS.data_dir, pose_fps=audio.feature_rate,
-            bvh_joints=FLAGS.bvh_joints, bvh_scale=FLAGS.bvh_scale)
+            bvh_joints=FLAGS.bvh_joints, bvh_scale=FLAGS.bvh_scale,
+            bvh_center_root=FLAGS.bvh_center_root)
     elif FLAGS.synthetic:
         source = SyntheticClipSource(
             FLAGS.synthetic_clips, FLAGS.synthetic_seconds, audio,

@@ -24,6 +24,21 @@ flags.DEFINE_string(
 flags.DEFINE_integer("steps", 100, "ABSOLUTE target step: a --restore'd "
                      "run continues its numbering up to this total")
 flags.DEFINE_string("data_dir", None, ".npz clip directory (data/pipeline.NpzClipSource)")
+flags.DEFINE_string("audio_dir", None,
+                    "directory of paired audio + pose FILES — the "
+                    "production corpus layout: song.{wav,flac,mp3,ogg,"
+                    "aiff,m4a} next to song.{npy,json,bvh} "
+                    "(data/pipeline.WavPoseSource; see make_corpus.py)")
+flags.DEFINE_list("bvh_joints", None,
+                  "joint names to select (in order) from .bvh pose files "
+                  "under --audio_dir; default keeps every skeleton joint")
+flags.DEFINE_float("bvh_scale", None,
+                   "unit scale applied to .bvh joint positions")
+flags.DEFINE_bool("bvh_center_root", True,
+                  "subtract the root position per frame when ingesting "
+                  ".bvh poses (standard dance-corpus normalization; pass "
+                  "--nobvh_center_root for corpora whose .npy/.json clips "
+                  "are not centered, e.g. make_corpus.py output)")
 flags.DEFINE_bool("synthetic", False, "train on synthetic clips (no data needed)")
 flags.DEFINE_integer("synthetic_clips", 256, "synthetic dataset size")
 flags.DEFINE_enum("corpus", "beat", ["beat", "noise"],
@@ -212,13 +227,21 @@ def main(argv):
 
     if FLAGS.data_dir:
         source = NpzClipSource(FLAGS.data_dir)
+    elif FLAGS.audio_dir:
+        from music2dance_tpu.data.pipeline import WavPoseSource
+
+        source = WavPoseSource(
+            FLAGS.audio_dir, pose_fps=p.audio.feature_rate,
+            bvh_joints=FLAGS.bvh_joints, bvh_scale=FLAGS.bvh_scale,
+            bvh_center_root=FLAGS.bvh_center_root,
+        )
     elif FLAGS.synthetic:
         src_cls = BeatClipSource if FLAGS.corpus == "beat" else SyntheticClipSource
         source = src_cls(
             FLAGS.synthetic_clips, p.train.clip_seconds, p.audio, layout, FLAGS.seed
         )
     else:
-        raise app.UsageError("pass --data_dir or --synthetic")
+        raise app.UsageError("pass --data_dir, --audio_dir, or --synthetic")
 
     mesh = make_mesh(FLAGS.dp) if FLAGS.dp > 0 else None
 
@@ -238,13 +261,31 @@ def main(argv):
         evaluator = evaluator_from_iterator(p.gan, val_ds, p.audio, seed=FLAGS.seed)
 
     state = None
+    resume_dir = FLAGS.restore
     if FLAGS.restore:
         from music2dance_tpu.ckpt.orbax_io import restore_bundle
 
         rs = (FLAGS.restore_step if FLAGS.restore_step in ("latest", "best")
               else int(FLAGS.restore_step))
         _, _, state = restore_bundle(FLAGS.restore, step=rs)
-    elif FLAGS.restore_torch:
+    elif FLAGS.restore_torch is None and FLAGS.ckpt_dir:
+        # Auto-resume (the README/preempt.py contract, round-3 ADVICE
+        # high): a scheduler re-running the IDENTICAL command after
+        # eviction must continue at the absolute step, not reinitialize
+        # at 0 and save low-numbered checkpoints over the existing
+        # history. When --ckpt_dir already holds managed steps and no
+        # explicit --restore was given, restore the latest one.
+        from music2dance_tpu.ckpt.orbax_io import checkpoint_steps, restore_bundle
+
+        if checkpoint_steps(FLAGS.ckpt_dir):
+            _, _, state = restore_bundle(FLAGS.ckpt_dir, step="latest")
+            resume_dir = FLAGS.ckpt_dir
+            print(
+                f"auto-resuming from {FLAGS.ckpt_dir} at step "
+                f"{int(state.step)} (pass --restore to pick a different "
+                "checkpoint, or a fresh --ckpt_dir to start over)"
+            )
+    if state is None and FLAGS.restore_torch:
         import jax
         import numpy as np
 
@@ -297,10 +338,10 @@ def main(argv):
             )
 
         it = iter(ds)
-        if FLAGS.restore:
+        if resume_dir:
             from music2dance_tpu.train.loop import restore_data_state
 
-            it = restore_data_state(FLAGS.restore, it)
+            it = restore_data_state(resume_dir, it)
 
         def run():
             return train(
