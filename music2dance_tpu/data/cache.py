@@ -150,11 +150,22 @@ def make_feature_dataset(
     num_workers: int = 0,
     frontend_impl: str = "auto",
     cache_dir: Optional[str] = None,
+    precomputed: bool = False,
 ) -> grain.IterDataset:
-    """Feature-domain pipeline: precompute -> shuffle -> slice -> batch."""
-    pre = PrecomputedFeatureSource(
-        source, audio, frontend_impl=frontend_impl, cache_dir=cache_dir
-    )
+    """Feature-domain pipeline: precompute -> shuffle -> slice -> batch.
+
+    ``precomputed``: ``source`` already yields {"feats", "pose"} (a
+    PrecomputedFeatureSource or a SubsetSource view of one) — skip the
+    extraction wrap. This is how a train/val split made AFTER caching
+    (so the cache manifest still matches the full preprocess.py corpus)
+    feeds the training side.
+    """
+    if precomputed:
+        pre = source
+    else:
+        pre = PrecomputedFeatureSource(
+            source, audio, frontend_impl=frontend_impl, cache_dir=cache_dir
+        )
     ds = grain.MapDataset.source(pre)
     if shuffle:
         ds = ds.shuffle(seed=seed)

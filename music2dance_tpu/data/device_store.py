@@ -47,9 +47,19 @@ class DeviceFeatureStore:
         return cls(*children)
 
     @classmethod
-    def from_clips(cls, clips: list[dict], device=None) -> "DeviceFeatureStore":
-        """clips: [{"feats" [T,F], "pose" [T,P]}] (e.g. PrecomputedFeatureSource)."""
+    def from_clips(cls, clips: list[dict], device=None,
+                   min_frames: int = 0) -> "DeviceFeatureStore":
+        """clips: [{"feats" [T,F], "pose" [T,P]}] (e.g. PrecomputedFeatureSource).
+
+        ``min_frames``: clips shorter than this are TILED (looped) up to
+        it at construction — the same semantics SliceFeatureClip gives
+        the streaming feature pipeline, so a corpus of short clips
+        trains identically in both cache-backed input modes instead of
+        crashing the on-device window sampler with an out-of-range
+        dynamic slice.
+        """
         t_max = max(min(c["feats"].shape[0], c["pose"].shape[0]) for c in clips)
+        t_max = max(t_max, min_frames)
         n = len(clips)
         f_dim = clips[0]["feats"].shape[-1]
         p_dim = clips[0]["pose"].shape[-1]
@@ -58,8 +68,14 @@ class DeviceFeatureStore:
         lengths = np.zeros((n,), np.int32)
         for i, c in enumerate(clips):
             t = min(c["feats"].shape[0], c["pose"].shape[0], t_max)
-            feats[i, :t] = c["feats"][:t]
-            poses[i, :t] = c["pose"][:t]
+            f, p = c["feats"][:t], c["pose"][:t]
+            if t < min_frames:  # tile short clips up to the window length
+                reps = -(-min_frames // max(t, 1))
+                f = np.tile(f, (reps, 1))[:min_frames]
+                p = np.tile(p, (reps, 1))[:min_frames]
+                t = min_frames
+            feats[i, :t] = f
+            poses[i, :t] = p
             lengths[i] = t
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         return cls(put(feats), put(poses), put(lengths))

@@ -207,6 +207,13 @@ class SubsetSource(grain.sources.RandomAccessDataSource):
         self._source = source
         self._indices = list(indices)
 
+    @property
+    def indices(self) -> list:
+        """Parent-source indices, in iteration order — lets a split made
+        at one representation level (e.g. cached features) be mirrored
+        onto another (the raw clips, for wave-based eval metrics)."""
+        return list(self._indices)
+
     def __len__(self) -> int:
         return len(self._indices)
 

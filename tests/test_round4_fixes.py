@@ -125,6 +125,89 @@ def test_train_cli_audio_dir_file_corpus(tmp_path):
     assert "done: 2 steps" in stdout
 
 
+def test_preprocess_cache_feeds_eval_training(tmp_path):
+    """preprocess.py builds the cache over the FULL corpus; train.py
+    --eval_every must consume it (split at the feature level) instead of
+    rejecting the manifest because the train split has fewer clips —
+    in BOTH cache-backed input modes."""
+    corpus = tmp_path / "corpus"
+    _run_cli(tmp_path, "make_corpus.py", [
+        "--out_dir", str(corpus), "--clips", "8", "--seconds", "1.5",
+        "--audio_formats", "wav", "--pose_formats", "npy",
+    ])
+    cache = tmp_path / "cache"
+    out = _run_cli(tmp_path, "preprocess.py", [
+        "--data_dir", str(corpus), "--out_dir", str(cache)])
+    assert "cached 8 clips" in out
+
+    import json
+
+    for mode in ("feature_cache", "device_store"):
+        mdir = tmp_path / f"m_{mode}"
+        stdout = _run_cli(tmp_path, "train.py", [
+            "--preset", "tiny", "--steps", "4", "--audio_dir", str(corpus),
+            "--input_mode", mode, "--cache_dir", str(cache),
+            "--eval_every", "2", "--val_fraction", "0.25",
+            "--metrics_dir", str(mdir), "--log_every", "2",
+        ])
+        assert "done: 4 steps" in stdout, mode
+        rows = [json.loads(l) for l in open(mdir / "metrics.jsonl")]
+        assert any("eval_fmd" in r for r in rows), mode
+
+
+def test_cache_and_store_train_on_identical_features(tmp_path):
+    """feature_cache and device_store modes draw from bit-identical
+    features (same PrecomputedFeatureSource arrays), and one jitted
+    train step over the same batch assembled from either representation
+    produces identical metrics — the two production input tiers differ
+    only in WHERE the data sits, not in what the model sees."""
+    import jax
+    import jax.numpy as jnp
+
+    from music2dance_tpu.audio import AudioConfig
+    from music2dance_tpu.data.cache import PrecomputedFeatureSource
+    from music2dance_tpu.data.device_store import DeviceFeatureStore
+    from music2dance_tpu.data.pipeline import SyntheticClipSource
+    from music2dance_tpu.models import JointLayout, tiny_gan
+    from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+
+    audio = AudioConfig(sample_rate=8000, n_fft=256, win_length=256,
+                        hop_length=200, n_mels=40, n_mfcc=13)
+    layout = JointLayout(n_joints=5, joint_dim=3)
+    src = SyntheticClipSource(4, 1.0, audio, layout, seed=3)
+
+    cache = str(tmp_path / "cache")
+    PrecomputedFeatureSource(src, audio, frontend_impl="xla",
+                             cache_dir=cache)  # build pass
+    pre = PrecomputedFeatureSource(src, audio, frontend_impl="xla",
+                                   cache_dir=cache)  # disk load
+    store = DeviceFeatureStore.from_clips([pre[i] for i in range(len(pre))])
+    for i in range(len(pre)):
+        t = int(store.lengths[i])
+        np.testing.assert_array_equal(np.asarray(store.feats[i, :t]),
+                                      pre[i]["feats"])
+        np.testing.assert_array_equal(np.asarray(store.poses[i, :t]),
+                                      pre[i]["pose"])
+
+    n = int(round(0.5 * audio.feature_rate))
+    batch_cache = {
+        "feats": np.stack([pre[i]["feats"][:n] for i in range(4)]),
+        "poses": np.stack([pre[i]["pose"][:n] for i in range(4)]),
+    }
+    batch_store = {
+        "feats": jnp.stack([store.feats[i, :n] for i in range(4)]),
+        "poses": jnp.stack([store.poses[i, :n] for i in range(4)]),
+    }
+    gan = tiny_gan(feature_dim=audio.n_mfcc, layout=layout)
+    tc = TrainConfig(batch_size=4, clip_seconds=0.5)
+    state = init_state(jax.random.key(0), gan, tc, batch_cache)
+    step = make_train_step(gan, tc)
+    _, m1 = step(state, batch_cache)
+    _, m2 = step(state, batch_store)
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+
+
 def test_file_corpus_matches_device_store_distribution(tmp_path):
     """Clip i of make_corpus.py == clip i of BeatClipSource (same (seed,
     idx) rng stream), so file-corpus runs are comparable clip-for-clip

@@ -246,6 +246,16 @@ def main(argv):
     mesh = make_mesh(FLAGS.dp) if FLAGS.dp > 0 else None
 
     evaluator = None
+    feature_source = None  # cache-backed modes: the (possibly split) feature view
+    if FLAGS.input_mode in ("feature_cache", "device_store"):
+        # Build/load the cache over the FULL corpus FIRST so its manifest
+        # matches a preprocess.py-built cache (which never saw the eval
+        # split); the train/val split then happens at the feature level.
+        from music2dance_tpu.data.cache import PrecomputedFeatureSource
+
+        feature_source = PrecomputedFeatureSource(
+            source, p.audio, cache_dir=FLAGS.cache_dir
+        )
     if FLAGS.eval_every > 0:
         import dataclasses as _dc
 
@@ -253,7 +263,17 @@ def main(argv):
         from music2dance_tpu.eval.evaluator import evaluator_from_iterator
 
         p = _dc.replace(p, train=_dc.replace(p.train, eval_every=FLAGS.eval_every))
-        source, val_source = split_source(source, FLAGS.val_fraction, FLAGS.seed)
+        if feature_source is not None:
+            # split the cached features; mirror the SAME clip indices onto
+            # the raw source so the evaluator sees waves (beat alignment —
+            # the audio-conditioning progress meter)
+            from music2dance_tpu.data.pipeline import SubsetSource
+
+            feature_source, val_pre = split_source(
+                feature_source, FLAGS.val_fraction, FLAGS.seed)
+            val_source = SubsetSource(source, val_pre.indices)
+        else:
+            source, val_source = split_source(source, FLAGS.val_fraction, FLAGS.seed)
         val_ds = make_dataset(
             val_source, p.train.batch_size, p.train.clip_seconds, p.audio,
             seed=FLAGS.seed + 1, shuffle=False,
@@ -311,8 +331,9 @@ def main(argv):
         from music2dance_tpu.data.device_store import DeviceFeatureStore
         from music2dance_tpu.train.loop import train_from_store
 
-        store = DeviceFeatureStore.from_source(
-            source, p.audio, cache_dir=FLAGS.cache_dir
+        store = DeviceFeatureStore.from_clips(
+            [feature_source[i] for i in range(len(feature_source))],
+            min_frames=int(round(p.train.clip_seconds * p.audio.feature_rate)),
         )
 
         def run():
@@ -327,9 +348,9 @@ def main(argv):
             from music2dance_tpu.data.cache import make_feature_dataset
 
             ds = make_feature_dataset(
-                source, p.train.batch_size, p.train.clip_seconds, p.audio,
-                seed=FLAGS.seed, num_workers=FLAGS.workers,
-                cache_dir=FLAGS.cache_dir,
+                feature_source, p.train.batch_size, p.train.clip_seconds,
+                p.audio, seed=FLAGS.seed, num_workers=FLAGS.workers,
+                precomputed=True,
             )
         else:
             ds = make_dataset(
