@@ -87,14 +87,14 @@ class Music2DanceModel:
         drawn from ``seed`` the same way, so seed parity holds too.
         """
         from .streaming import (StreamingFeatureExtractor,
-                                StreamingGenerator, StreamingSession)
+                                StreamingGenerator, make_streaming_session)
 
         key = self._key if seed is None else jax.random.key(seed)
         z = jax.random.normal(key, (1, self.gan.generator.noise_dim),
                               jnp.float32)
         return StreamingGenerator(
             StreamingFeatureExtractor(self.audio, stats=stats),
-            StreamingSession(self.g_params, self.gan.generator, z),
+            make_streaming_session(self.g_params, self.gan.generator, z),
         )
 
     def generate_batch(

@@ -119,13 +119,15 @@ class EmitPlan:
     emit_end: int           # global cursor after this emit
     z: jax.Array            # [B, Z] session latent
     carry: object           # session carry at plan time (impl layout)
-    impl: str               # "xla" | "fused"
+    impl: str               # "xla" | "fused" | "attn"
     interpret: "bool | None"
+    meta: tuple = ()        # impl-specific static shape info (e.g. the
+    #   attention session's KV-cache capacity) — part of the batch key
 
     def key(self) -> tuple:
         """Plans sharing a key can run batched (same program shapes)."""
         return (self.window.shape[1], self.off, self.e, self.impl,
-                self.window.shape[0])
+                self.window.shape[0], self.meta)
 
 
 def execute_plans(g_params, cfg: GeneratorConfig, plans, pad_to=None):
@@ -145,6 +147,10 @@ def execute_plans(g_params, cfg: GeneratorConfig, plans, pad_to=None):
     p0 = plans[0]
     if any(p.key() != p0.key() for p in plans) or p0.window.shape[0] != 1:
         raise ValueError("plans must share key() and be single-stream")
+    if p0.impl == "attn":
+        from .attn_stream import execute_attn_plans
+
+        return execute_attn_plans(params, cfg, plans, pad_to=pad_to)
     n = len(plans)
     rows = max(n, pad_to or n)
     tw = p0.window.shape[1]
@@ -204,7 +210,126 @@ def execute_plans(g_params, cfg: GeneratorConfig, plans, pad_to=None):
     return [(poses[i:i + 1], row(i)) for i in range(n)]
 
 
-class StreamingSession:
+class _ChunkedSession:
+    """Shared machinery of a chunked decode session: the feature buffer
+    with encoder left-halo retention, the emit cursor, and the
+    plan/execute/apply split. Family-specific subclasses supply the
+    carry layout and ``run_plan`` (StreamingSession — recurrent state;
+    attn_stream.TransformerStreamingSession — KV caches)."""
+
+    _cfg: GeneratorConfig
+    _impl: str
+
+    @property
+    def frames_emitted(self) -> int:
+        return self._emitted
+
+    def _plan_meta(self) -> tuple:
+        """Impl-specific static shape info for EmitPlan.key()."""
+        return ()
+
+    def _as_chunk(self, feats) -> np.ndarray:
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        if feats.ndim != 3 or feats.shape[0] != self._b or (
+                feats.shape[2] != self._cfg.feature_dim):
+            raise ValueError(
+                f"expected [B={self._b}, Tc, F={self._cfg.feature_dim}] "
+                f"feature chunk, got shape {feats.shape}")
+        return feats
+
+    def _empty(self) -> np.ndarray:
+        cfg = self._cfg
+        return np.zeros(
+            (self._b, 0, cfg.layout.n_joints, cfg.layout.joint_dim),
+            np.float32)
+
+    def _plan(self, emit_end: int) -> "EmitPlan | None":
+        """Everything a (possibly external, batched) executor needs to run
+        this session's pending emit; None when nothing is computable."""
+        e = emit_end - self._emitted
+        if e <= 0:
+            return None
+        # encoder window: left-halo context behind the cursor (or the true
+        # sequence start, where SAME zero padding is the offline
+        # semantics), everything received on the right
+        w0 = max(0, self._emitted - self._hl)
+        window = self._buf[:, w0 - self._buf_start:]
+        return EmitPlan(
+            window=window, off=self._emitted - w0, e=e, emit_end=emit_end,
+            z=self._z, carry=self._carry, impl=self._impl,
+            interpret=getattr(self, "_interpret", None),
+            meta=self._plan_meta(),
+        )
+
+    def plan_feed(self, feats_chunk) -> "EmitPlan | None":
+        """Buffer a chunk and return the pending emit (or None). The plan
+        must then be run (``execute_plans`` or the session's own jits) and
+        finalized with ``apply`` — ``feed()`` does all three for the
+        single-session case; the serving coalescer batches the middle step
+        across sessions."""
+        if self._flushed:
+            raise RuntimeError("session already flushed")
+        chunk = self._as_chunk(feats_chunk)
+        self._buf = np.concatenate([self._buf, chunk], axis=1)
+        avail = self._buf_start + self._buf.shape[1]
+        return self._plan(avail - self._hr)
+
+    def plan_flush(self) -> "EmitPlan | None":
+        if self._flushed:
+            raise RuntimeError("session already flushed")
+        self._flushed = True
+        return self._plan(self._buf_start + self._buf.shape[1])
+
+    def apply(self, plan: "EmitPlan", poses: np.ndarray, carry) -> np.ndarray:
+        """Finalize an executed plan: advance the cursor, trim the left-
+        context buffer, adopt the new carry; returns the reshaped poses."""
+        cfg = self._cfg
+        self._carry = carry
+        self._emitted = plan.emit_end
+        keep_from = max(0, self._emitted - self._hl)
+        self._buf = self._buf[:, keep_from - self._buf_start:]
+        self._buf_start = keep_from
+        return np.asarray(poses).reshape(
+            self._b, plan.e, cfg.layout.n_joints, cfg.layout.joint_dim)
+
+    def run_plan(self, plan: "EmitPlan"):
+        raise NotImplementedError  # family-specific
+
+    def feed(self, feats_chunk) -> np.ndarray:
+        """[B, Tc, F] features -> [B, E, n_joints, joint_dim] poses
+        (E = frames whose encoder context is now complete; may be 0)."""
+        plan = self.plan_feed(feats_chunk)
+        if plan is None:
+            return self._empty()
+        poses, carry = self.run_plan(plan)
+        return self.apply(plan, poses, carry)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: emit the right-halo frames held back by feed()
+        (the encoder sees the offline right-edge zero padding)."""
+        plan = self.plan_flush()
+        if plan is None:
+            return self._empty()
+        poses, carry = self.run_plan(plan)
+        return self.apply(plan, poses, carry)
+
+
+def make_streaming_session(g_params, cfg: GeneratorConfig, z: jax.Array,
+                           impl: str = "auto", **kwargs):
+    """Streaming session for EITHER model family: the recurrent session
+    (carried scan state) for arch='rnn', the KV-cache incremental causal
+    decode (infer/attn_stream.py) for arch='transformer'. Both share the
+    feed/flush/plan API and are exact vs their offline decode."""
+    if cfg.arch == "transformer":
+        from .attn_stream import TransformerStreamingSession
+
+        return TransformerStreamingSession(g_params, cfg, z, **kwargs)
+    return StreamingSession(g_params, cfg, z, impl=impl, **kwargs)
+
+
+class StreamingSession(_ChunkedSession):
     """Chunked autoregressive decode, exact vs the offline whole-song pass.
 
     ``feed()`` accepts ``[B, Tc, F]`` (or ``[Tc, F]`` when batch == 1)
@@ -229,10 +354,10 @@ class StreamingSession:
                  impl: str = "auto"):
         if cfg.arch != "rnn":
             raise ValueError(
-                "streaming sessions carry recurrent generator state and "
-                f"are a recurrent-family capability (arch={cfg.arch!r}); "
-                "decode transformer-family models offline with "
-                "generate()/generate_batch()"
+                "StreamingSession carries recurrent generator state "
+                f"(arch={cfg.arch!r}); transformer-family models stream "
+                "via the KV-cache session — construct with "
+                "make_streaming_session(), which dispatches on cfg.arch"
             )
         params = g_params.get("params", g_params)
         self._params = params
@@ -271,75 +396,6 @@ class StreamingSession:
         else:
             self._carry = generator_init_carry(cfg, self._b)
 
-    @property
-    def frames_emitted(self) -> int:
-        return self._emitted
-
-    def _as_chunk(self, feats) -> np.ndarray:
-        feats = np.asarray(feats, np.float32)
-        if feats.ndim == 2:
-            feats = feats[None]
-        if feats.ndim != 3 or feats.shape[0] != self._b or (
-                feats.shape[2] != self._cfg.feature_dim):
-            raise ValueError(
-                f"expected [B={self._b}, Tc, F={self._cfg.feature_dim}] "
-                f"feature chunk, got shape {feats.shape}")
-        return feats
-
-    def _empty(self) -> np.ndarray:
-        cfg = self._cfg
-        return np.zeros(
-            (self._b, 0, cfg.layout.n_joints, cfg.layout.joint_dim),
-            np.float32)
-
-    def _plan(self, emit_end: int) -> "EmitPlan | None":
-        """Everything a (possibly external, batched) executor needs to run
-        this session's pending emit; None when nothing is computable."""
-        e = emit_end - self._emitted
-        if e <= 0:
-            return None
-        # encoder window: left-halo context behind the cursor (or the true
-        # sequence start, where SAME zero padding is the offline
-        # semantics), everything received on the right
-        w0 = max(0, self._emitted - self._hl)
-        window = self._buf[:, w0 - self._buf_start:]
-        return EmitPlan(
-            window=window, off=self._emitted - w0, e=e, emit_end=emit_end,
-            z=self._z, carry=self._carry, impl=self._impl,
-            interpret=getattr(self, "_interpret", None),
-        )
-
-    def plan_feed(self, feats_chunk) -> "EmitPlan | None":
-        """Buffer a chunk and return the pending emit (or None). The plan
-        must then be run (``execute_plans`` or the session's own jits) and
-        finalized with ``apply`` — ``feed()`` does all three for the
-        single-session case; the serving coalescer batches the middle step
-        across sessions."""
-        if self._flushed:
-            raise RuntimeError("session already flushed")
-        chunk = self._as_chunk(feats_chunk)
-        self._buf = np.concatenate([self._buf, chunk], axis=1)
-        avail = self._buf_start + self._buf.shape[1]
-        return self._plan(avail - self._hr)
-
-    def plan_flush(self) -> "EmitPlan | None":
-        if self._flushed:
-            raise RuntimeError("session already flushed")
-        self._flushed = True
-        return self._plan(self._buf_start + self._buf.shape[1])
-
-    def apply(self, plan: "EmitPlan", poses: np.ndarray, carry) -> np.ndarray:
-        """Finalize an executed plan: advance the cursor, trim the left-
-        context buffer, adopt the new carry; returns the reshaped poses."""
-        cfg = self._cfg
-        self._carry = carry
-        self._emitted = plan.emit_end
-        keep_from = max(0, self._emitted - self._hl)
-        self._buf = self._buf[:, keep_from - self._buf_start:]
-        self._buf_start = keep_from
-        return np.asarray(poses).reshape(
-            self._b, plan.e, cfg.layout.n_joints, cfg.layout.joint_dim)
-
     def run_plan(self, plan: "EmitPlan"):
         """Single-session execution of a plan: (poses [B, e, P], carry)."""
         cfg = self._cfg
@@ -353,24 +409,6 @@ class StreamingSession:
         poses, carry = _jit_scan_from_gi(cfg)(
             self._params["step"], plan.carry, gi_e)
         return poses, carry
-
-    def feed(self, feats_chunk) -> np.ndarray:
-        """[B, Tc, F] features -> [B, E, n_joints, joint_dim] poses
-        (E = frames whose encoder context is now complete; may be 0)."""
-        plan = self.plan_feed(feats_chunk)
-        if plan is None:
-            return self._empty()
-        poses, carry = self.run_plan(plan)
-        return self.apply(plan, poses, carry)
-
-    def flush(self) -> np.ndarray:
-        """End of stream: emit the right-halo frames held back by feed()
-        (the encoder sees the offline right-edge zero padding)."""
-        plan = self.plan_flush()
-        if plan is None:
-            return self._empty()
-        poses, carry = self.run_plan(plan)
-        return self.apply(plan, poses, carry)
 
 
 @dataclasses.dataclass(frozen=True)
