@@ -49,6 +49,15 @@ class TrainConfig:
     #   L1 between critic conv features of real vs fake (losses.
     #   feature_matching). >0 adds one XLA critic feature pass per G
     #   update (the fused critic path doesn't expose conv intermediates)
+    mismatch_weight: float = 0.0   # matching-aware critic term: real
+    #   poses paired with rolled (wrong) audio scored as an extra fake
+    #   class, weight * E[D(real, wrong_audio)] added to the critic loss
+    #   — forces the critic (and through it, G) to use the audio
+    #   (train/conditioning.py). Requires a conditional critic.
+    beat_loss_weight: float = 0.0  # G aux: differentiable twin of the
+    #   eval beat-alignment metric (negated max lag-windowed correlation
+    #   between generated speed envelope and the MFCC-c0 onset proxy) —
+    #   train/conditioning.beat_alignment_loss
     moe_aux_weight: float = 0.01   # Switch load-balancing aux weight when
     #   the generator uses MoE blocks (generator.moe_experts > 1); the
     #   aux is the block-mean of E*sum_e f_e*P_e (1.0 at perfect balance)

@@ -128,6 +128,20 @@ def make_train_step(
                          "kernels apply the factory generator)")
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
+    if tc.mismatch_weight and not cond:
+        raise ValueError(
+            "mismatch_weight needs a conditional critic: the matching-"
+            "aware term scores (real poses, wrong audio) pairs, which an "
+            "unconditional critic cannot even see"
+        )
+    if tc.mismatch_weight and tc.grad_accum > 1:
+        raise ValueError(
+            "mismatch_weight under grad_accum would draw negative pairs "
+            "within each microbatch SLICE, not the big batch — breaking "
+            "grad_accum's exact big-batch-equivalence contract "
+            "(tests/test_grad_accum.py). Run mismatch training with "
+            "grad_accum=1."
+        )
 
     def pmean(x):
         if axis_name is None:
@@ -305,10 +319,19 @@ def make_train_step(
 
         loss = critic_loss(s_real, s_fake, gp, tc.lambda_gp, tc.drift_eps)
         aux = {
-            "d_loss": loss,
             "gp": gp,
             "wasserstein": jnp.mean(s_real) - jnp.mean(s_fake),
         }
+        if tc.mismatch_weight:
+            # matching-aware negative class (train/conditioning.py):
+            # real poses, rolled audio — one extra critic pass (fused or
+            # XLA, critic_scores routes it) per critic update
+            from .conditioning import mismatch_pairs
+
+            s_mis = critic_scores(d_params, real, mismatch_pairs(feats))
+            loss = loss + tc.mismatch_weight * jnp.mean(s_mis)
+            aux["mismatch_gap"] = jnp.mean(s_real) - jnp.mean(s_mis)
+        aux["d_loss"] = loss
         return loss, aux
 
     def g_aux_losses(d_params, fake, real, feats):
@@ -324,6 +347,12 @@ def make_train_step(
             fm = feature_matching(jax.lax.stop_gradient(fr), ff)
             extra = tc.feature_matching_weight * fm
             aux["fm"] = fm
+        if tc.beat_loss_weight:
+            from .conditioning import beat_alignment_loss
+
+            bl = beat_alignment_loss(fake, feats)
+            extra = extra + tc.beat_loss_weight * bl
+            aux["beat_loss"] = bl
         return extra, aux
 
     moe_on = (

@@ -75,6 +75,14 @@ def make_tbptt_machinery(
             "full clips (its attention context is the whole clip — use "
             "the plain train step)"
         )
+    if tc.mismatch_weight or tc.beat_loss_weight:
+        raise ValueError(
+            "mismatch_weight/beat_loss_weight are plain-step levers: the "
+            "mismatch term needs a fourth critic stream carried across "
+            "TBPTT windows (the merged critic kernel is 3-stream) and "
+            "the beat auxiliary's envelope z-norm is whole-clip. Train "
+            "conditioning-strengthened runs with tbptt_window=0."
+        )
 
     gen = Generator(gan.generator)
     disc = Discriminator(gan.discriminator)

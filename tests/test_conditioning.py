@@ -1,0 +1,219 @@
+"""Conditioning levers (train/conditioning.py): mismatch critic term +
+beat-alignment auxiliary — the round-3 VERDICT's weak #1 closure.
+
+The levers must (a) measure what they claim — the onset proxy tracks the
+eval metric's onset envelope on real audio and the beat loss prefers
+aligned motion; (b) integrate exactly — fused and XLA step paths agree,
+weights=0 reproduces the unlevered step; (c) stay loud where the math
+breaks (unconditional critic, grad_accum pairing, TBPTT carries).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music2dance_tpu.audio import AudioConfig, extract_features
+from music2dance_tpu.data.synthetic import synthetic_batch
+from music2dance_tpu.eval.metrics import onset_envelope
+from music2dance_tpu.models import JointLayout, tiny_gan
+from music2dance_tpu.train import TrainConfig, init_state, make_train_step
+from music2dance_tpu.train.conditioning import (
+    beat_alignment_loss,
+    mismatch_pairs,
+    onset_proxy_from_feats,
+)
+
+LAYOUT = JointLayout(n_joints=4, joint_dim=3)
+AUDIO = AudioConfig(sample_rate=8000, n_fft=256, win_length=256,
+                    hop_length=200, n_mels=40, n_mfcc=13)
+
+
+def _click_track(seconds=4.0, period=0.5, sr=8000, seed=0):
+    """Clicks every `period` seconds over noise — strong, known onsets."""
+    n = int(seconds * sr)
+    rng = np.random.default_rng(seed)
+    w = 0.01 * rng.standard_normal(n).astype(np.float32)
+    for t0 in np.arange(0.0, seconds, period):
+        i = int(t0 * sr)
+        w[i:i + 200] += np.sin(2 * np.pi * 440 * np.arange(200) / sr) * 0.8
+    return w
+
+
+def test_onset_proxy_tracks_eval_onset_envelope():
+    """The MFCC-c0 proxy and the eval metric's log-mel-flux onset must
+    agree on real audio — that agreement is what licenses training
+    against the proxy while judging on the metric."""
+    w = jnp.asarray(_click_track())[None]
+    eval_onset = np.asarray(onset_envelope(w, AUDIO))[0]
+    feats = extract_features(w[0], AUDIO)[None]
+    proxy = np.asarray(onset_proxy_from_feats(feats))[0]
+    t = min(len(eval_onset), len(proxy))
+    corr = np.corrcoef(eval_onset[:t], proxy[:t])[0, 1]
+    assert corr > 0.8, f"onset proxy decorrelated from eval onset: {corr}"
+
+
+def test_beat_loss_prefers_aligned_motion():
+    """Motion that pauses exactly on the clicks must score a lower
+    (better) beat loss than the same motion shifted off-beat by half a
+    period, and than constant-speed motion."""
+    w = jnp.asarray(_click_track())[None]
+    feats = extract_features(w[0], AUDIO)[None]
+    t = feats.shape[1]
+    proxy = np.asarray(onset_proxy_from_feats(feats))[0]
+
+    # speed dips where the proxy spikes -> aligned; rolled -> misaligned
+    speed_aligned = 1.0 - 0.9 * (proxy > 1.0).astype(np.float32)
+    speed_off = np.roll(speed_aligned, t // 8)
+
+    def poses_from_speed(speed):
+        # one coordinate walks at the prescribed per-frame speed
+        p = np.zeros((1, t, LAYOUT.pose_dim), np.float32)
+        p[0, :, 0] = np.concatenate([[0.0], np.cumsum(speed[1:])])
+        return jnp.asarray(p)
+
+    aligned = float(beat_alignment_loss(poses_from_speed(speed_aligned), feats))
+    off = float(beat_alignment_loss(poses_from_speed(speed_off), feats))
+    flat = float(beat_alignment_loss(poses_from_speed(np.ones(t, np.float32)),
+                                     feats))
+    assert aligned < off, (aligned, off)
+    assert aligned < flat, (aligned, flat)
+    assert aligned < -0.3  # strongly aligned, not just relatively
+
+
+def test_mismatch_pairs_roll():
+    f = jnp.arange(12.0).reshape(3, 2, 2)
+    m = mismatch_pairs(f)
+    np.testing.assert_array_equal(np.asarray(m[0]), np.asarray(f[2]))
+    np.testing.assert_array_equal(np.asarray(m[1]), np.asarray(f[0]))
+
+
+def _tiny():
+    return tiny_gan(feature_dim=AUDIO.n_mfcc, layout=LAYOUT)
+
+
+def _batch(b=4, seconds=0.5, seed=0):
+    return synthetic_batch(jax.random.key(seed), b, seconds, AUDIO, LAYOUT,
+                           through_frontend=False)
+
+
+def test_step_with_levers_runs_and_reports():
+    gan = _tiny()
+    tc = TrainConfig(batch_size=4, mismatch_weight=0.5, beat_loss_weight=0.2)
+    batch = _batch()
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    step = jax.jit(make_train_step(gan, tc))
+    state, m = step(state, batch)
+    state, m = step(state, batch)
+    assert "mismatch_gap" in m and "beat_loss" in m
+    assert all(bool(jnp.isfinite(v)) for v in m.values())
+    assert int(state.step) == 2
+
+
+def test_levers_off_reproduce_plain_step():
+    """weights=0 must be the byte-identical step (no hidden extra pass)."""
+    gan = _tiny()
+    batch = _batch()
+    outs = {}
+    for name, tc in [("plain", TrainConfig(batch_size=4)),
+                     ("zeroed", TrainConfig(batch_size=4, mismatch_weight=0.0,
+                                            beat_loss_weight=0.0))]:
+        state = init_state(jax.random.key(1), gan, tc, batch)
+        state, m = jax.jit(make_train_step(gan, tc))(state, batch)
+        outs[name] = (m, state)
+    assert set(outs["plain"][0]) == set(outs["zeroed"][0])
+    for k in outs["plain"][0]:
+        assert float(outs["plain"][0][k]) == float(outs["zeroed"][0][k])
+
+
+def test_fused_and_xla_paths_agree_on_levers():
+    """The mismatch term rides critic_scores, which routes to the fused
+    critic kernel when available — interpret-mode fused vs pure-XLA step
+    must produce the same metrics (same discipline as test_fused_*)."""
+    gan = _tiny()
+    tc = TrainConfig(batch_size=4, mismatch_weight=0.5, beat_loss_weight=0.2)
+    batch = _batch()
+    metrics = {}
+    for name, fused in [("xla", False), ("fused", True)]:
+        state = init_state(jax.random.key(1), gan, tc, batch)
+        step = jax.jit(make_train_step(gan, tc, fused=fused))
+        state, _ = step(state, batch)
+        _, m = step(state, batch)
+        metrics[name] = m
+    for k in metrics["xla"]:
+        np.testing.assert_allclose(
+            float(metrics["fused"][k]), float(metrics["xla"][k]),
+            rtol=2e-3, atol=1e-5, err_msg=k)
+
+
+def test_mismatch_forces_audio_dependence():
+    """On the beat-driven corpus (poses genuinely coupled to each clip's
+    beat phase/period), a lever-on critic must learn to separate matched
+    from mismatched pairs — the gap metric grows positive. This is the
+    mechanism claim: the critic is actually using audio. (On audio-
+    independent poses the gap is unlearnable by construction, which is
+    why this test builds coupled clips.)"""
+    from music2dance_tpu.data.synthetic import beat_driven_clip
+
+    clips = [beat_driven_clip(np.random.default_rng((7, i)), 1.0, AUDIO,
+                              LAYOUT) for i in range(8)]
+    waves = jnp.asarray(np.stack([c["wave"] for c in clips]))
+    poses = jnp.asarray(np.stack([c["pose"] for c in clips]))
+    feats = jax.jit(jax.vmap(lambda w: extract_features(w, AUDIO)))(waves)
+    t = min(feats.shape[1], poses.shape[1])
+    batch = {"feats": feats[:, :t],
+             "poses": poses[:, :t].reshape(8, t, LAYOUT.pose_dim)}
+
+    gan = _tiny()
+    tc_on = TrainConfig(batch_size=8, mismatch_weight=1.0, lr_d=4e-4)
+    state = init_state(jax.random.key(1), gan, tc_on, batch)
+    step = jax.jit(make_train_step(gan, tc_on))
+    gap = None
+    for _ in range(100):
+        state, m = step(state, batch)
+        gap = float(m["mismatch_gap"])
+    assert gap > 0.25, f"critic never learned to use audio: gap={gap}"
+
+
+def test_unconditional_critic_rejected():
+    gan = _tiny()
+    gan = dataclasses.replace(
+        gan, discriminator=dataclasses.replace(gan.discriminator,
+                                               conditional=False))
+    with pytest.raises(ValueError, match="conditional critic"):
+        make_train_step(gan, TrainConfig(batch_size=4, mismatch_weight=0.5))
+
+
+def test_grad_accum_pairing_rejected():
+    with pytest.raises(ValueError, match="exact big-batch"):
+        make_train_step(_tiny(), TrainConfig(batch_size=4, grad_accum=2,
+                                             mismatch_weight=0.5))
+
+
+def test_tbptt_levers_rejected():
+    from music2dance_tpu.train.tbptt import make_tbptt_train_step
+
+    tc = TrainConfig(batch_size=4, tbptt_window=8, mismatch_weight=0.5)
+    with pytest.raises(ValueError, match="plain-step levers"):
+        make_tbptt_train_step(_tiny(), tc)
+
+
+def test_beat_loss_exact_under_grad_accum():
+    """beat loss is a per-example mean, so grad_accum stays exact with
+    it on (mismatch is the only gated lever)."""
+    gan = _tiny()
+    batch = _batch(b=4)
+    states = {}
+    for name, tc in [("big", TrainConfig(batch_size=4, beat_loss_weight=0.2)),
+                     ("accum", TrainConfig(batch_size=4, beat_loss_weight=0.2,
+                                           grad_accum=2))]:
+        state = init_state(jax.random.key(1), gan, tc, batch)
+        state, m = jax.jit(make_train_step(gan, tc))(state, batch)
+        states[name] = (state, m)
+    a, b = states["big"][0], states["accum"][0]
+    fa, _ = jax.flatten_util.ravel_pytree(a.g_params)
+    fb, _ = jax.flatten_util.ravel_pytree(b.g_params)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                               rtol=1e-5, atol=1e-7)

@@ -100,6 +100,11 @@ flags.DEFINE_integer("lr_decay_steps", 0, "cosine decay horizon (0 = "
                      "use --steps)")
 flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
                    "eval and inference use the averaged weights")
+flags.DEFINE_float("mismatch_weight", 0.0, "matching-aware critic term: "
+                   "score (real poses, rolled audio) as an extra fake class "
+                   "— forces audio-conditioning (train/conditioning.py)")
+flags.DEFINE_float("beat_loss", 0.0, "G auxiliary: differentiable twin of "
+                   "the eval beat-alignment metric (0 = off)")
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
@@ -200,6 +205,10 @@ def main(argv):
         train_over["ema_decay"] = FLAGS.ema_decay
     if FLAGS.feature_matching > 0:
         train_over["feature_matching_weight"] = FLAGS.feature_matching
+    if FLAGS.mismatch_weight > 0:
+        train_over["mismatch_weight"] = FLAGS.mismatch_weight
+    if FLAGS.beat_loss > 0:
+        train_over["beat_loss_weight"] = FLAGS.beat_loss
     if FLAGS.grad_clip > 0:
         train_over["grad_clip_norm"] = FLAGS.grad_clip
     if FLAGS.grad_accum > 1:
