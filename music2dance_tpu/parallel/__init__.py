@@ -23,6 +23,7 @@ from .fsdp import (
     fsdp_report,
     fsdp_shardings,
     fsdp_specs,
+    fsdp_tbptt_train_step,
     fsdp_train_step,
 )
 from .ep import ep_decode, ep_train_step, make_mesh_ep
@@ -52,6 +53,7 @@ __all__ = [
     "fsdp_report",
     "fsdp_shardings",
     "fsdp_specs",
+    "fsdp_tbptt_train_step",
     "fsdp_train_step",
     "make_mesh_3d",
     "sp_decode",

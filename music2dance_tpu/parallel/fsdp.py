@@ -188,6 +188,39 @@ def fsdp_train_step(
     tp.tp_train_step)."""
     from ..train.step import make_train_step
 
+    gan = _force_xla_attention(gan)
+    return _fsdp_jit(
+        gan, tc, mesh, state,
+        make_train_step(gan, tc, axis_name=None, fused=False),
+        donate=donate, place=place, min_size=min_size,
+    )
+
+
+def fsdp_tbptt_train_step(
+    gan: GANConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    state,
+    donate: bool = True,
+    place: bool = True,
+    min_size: int = FSDP_MIN_SIZE,
+):
+    """FSDP over the TBPTT step: long-clip window-scan training with
+    weights/Adam moments/EMA sharded over the data axis. Same GSPMD
+    construction as fsdp_train_step — the TBPTT step is pure (state,
+    batch) -> (state, metrics), so the sharding annotations compose with
+    the window scan untouched (equivalence: tests/test_fsdp.py)."""
+    from ..train.tbptt import make_tbptt_train_step
+
+    gan = _force_xla_attention(gan)
+    return _fsdp_jit(
+        gan, tc, mesh, state,
+        make_tbptt_train_step(gan, tc, axis_name=None, fused=False),
+        donate=donate, place=place, min_size=min_size,
+    )
+
+
+def _fsdp_jit(gan, tc, mesh, state, step, donate, place, min_size):
     if mesh.shape.get(DATA_AXIS, 1) <= 1:
         raise ValueError(
             "FSDP shards over the data axis; this mesh has no data axis "
@@ -196,10 +229,8 @@ def fsdp_train_step(
         )
     check_tp_divisibility(gan, mesh.shape.get("model", 1))
     check_ep_divisibility(gan, mesh.shape.get("expert", 1))
-    gan = _force_xla_attention(gan)
     state_sh = fsdp_shardings(state, mesh, min_size=min_size)
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    step = make_train_step(gan, tc, axis_name=None, fused=False)
     fn = jax.jit(
         step,
         in_shardings=(state_sh, batch_sh),
