@@ -82,6 +82,22 @@ class TrainConfig:
     # checkpointing / logging / eval cadence
     ckpt_every: int = 500
     ckpt_keep: int = 3             # step-numbered history depth (orbax GC)
+    # size-aware checkpoint cadence: hold checkpoint TRAFFIC (state bytes
+    # per training step) at or below this budget by raising ckpt_every
+    # for big states. The device->host fetch of the state is what an
+    # async save actually costs the loop (round-3 finding: the ~320 MB
+    # attention TrainState over this container's ~28.5 MB/s tunnel spent
+    # ~11 s of link time per ~22 s chunk at ckpt_every=500, sustaining
+    # 12-16 steps/s against the 22.4 bench) — and that cost scales with
+    # state size while the default cadence didn't. The default budget is
+    # the recurrent flagship's proven rate (~30 MB / 500 steps ≈ 60 KB/
+    # step, which sustained 148 steps/s with saves on), so small models
+    # keep their cadence and the transformer's rises to ~5000
+    # automatically. 0 disables (ckpt_every is used verbatim — the
+    # library default, so programmatic configs behave exactly as
+    # written); the train.py CLI turns the budget ON whenever
+    # --ckpt_every is left at its size-aware default.
+    ckpt_bytes_per_step: float = 0.0
     log_every: int = 50
     eval_every: int = 0            # held-out eval cadence (0 = disabled)
     # failure detection: halt when a fetched loss/GP goes non-finite

@@ -69,6 +69,35 @@ def _check_finite(metrics: dict, step: int, writer, state) -> None:
     )
 
 
+def size_aware_ckpt_every(tc: TrainConfig, state) -> int:
+    """Resolve the effective checkpoint cadence for this state's SIZE.
+
+    Holds checkpoint traffic at or below ``tc.ckpt_bytes_per_step``
+    (see TrainConfig): big TrainStates (the ~320 MB attention family)
+    get a proportionally coarser cadence so the async save's
+    device->host fetch can't dominate wall time on link-bound hosts,
+    while small states keep ``tc.ckpt_every`` verbatim. Only ever
+    RAISES the cadence, and warns once when it does.
+    """
+    if tc.ckpt_bytes_per_step <= 0:
+        return tc.ckpt_every
+    state_bytes = sum(
+        getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(state)
+    )
+    auto = -(-state_bytes // int(tc.ckpt_bytes_per_step))  # ceil div
+    if auto > tc.ckpt_every:
+        warn_once(
+            f"size-aware checkpoint cadence: TrainState is "
+            f"{state_bytes / 1e6:.0f} MB, raising ckpt_every "
+            f"{tc.ckpt_every} -> {auto} to keep checkpoint traffic <= "
+            f"{tc.ckpt_bytes_per_step / 1e3:.0f} KB/step (pass "
+            "--ckpt_every explicitly to override, or set "
+            "ckpt_bytes_per_step=0 to disable)"
+        )
+        return int(auto)
+    return tc.ckpt_every
+
+
 def _round_cadence(every: int, chunk_len: int, name: str) -> int:
     """Round an eval/ckpt cadence UP to a multiple of the chunk length.
 
@@ -212,7 +241,8 @@ def _train_from_store_guarded(
         if evaluator is not None else 0
     )
     ckpt_every = (
-        _round_cadence(tc.ckpt_every, chunk_len, "ckpt_every")
+        _round_cadence(size_aware_ckpt_every(tc, state), chunk_len,
+                       "ckpt_every")
         if writer is not None else 0
     )
     done = start
@@ -365,6 +395,7 @@ def _train_guarded(
         )
         if ckpt_dir is not None else None
     )
+    ckpt_every = size_aware_ckpt_every(tc, state) if writer is not None else 0
     metrics = {}
     batch = first
     # Restored runs CONTINUE their numbering: ``total_steps`` is the
@@ -416,7 +447,7 @@ def _train_guarded(
                 logger.log(int(i + 1), row)
                 if writer is not None:
                     writer.maybe_save_best(i + 1, state, raw)
-            if writer is not None and (i + 1) % tc.ckpt_every == 0:
+            if writer is not None and ckpt_every > 0 and (i + 1) % ckpt_every == 0:
                 writer.save(i + 1, state)  # async: training continues
                 _save_data_state(ckpt_dir, batches)
         synchronize(metrics)

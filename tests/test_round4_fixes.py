@@ -235,3 +235,58 @@ def test_file_corpus_matches_device_store_distribution(tmp_path):
         np.testing.assert_allclose(g["wave"][:n], r["wave"][:n], atol=2e-4)
         t = min(r["pose"].shape[0], g["pose"].shape[0])
         np.testing.assert_allclose(g["pose"][:t], r["pose"][:t], atol=1e-5)
+
+
+def test_size_aware_ckpt_every_unit():
+    """size_aware_ckpt_every raises the cadence exactly when the state's
+    checkpoint traffic would exceed ckpt_bytes_per_step, and never
+    lowers it (round-3 VERDICT #8: the ~320 MB attention TrainState at
+    the default 500-step cadence saturated the device->host link)."""
+    from music2dance_tpu.train import TrainConfig
+    from music2dance_tpu.train.loop import size_aware_ckpt_every
+
+    state = {"w": np.zeros(25_000, np.float32)}  # 100 KB
+    # disabled -> verbatim
+    tc = TrainConfig(ckpt_every=10, ckpt_bytes_per_step=0.0)
+    assert size_aware_ckpt_every(tc, state) == 10
+    # budget comfortably above bytes/cadence -> unchanged
+    tc = TrainConfig(ckpt_every=10, ckpt_bytes_per_step=100_000.0)
+    assert size_aware_ckpt_every(tc, state) == 10
+    # tight budget -> ceil(bytes / budget), raised
+    tc = TrainConfig(ckpt_every=10, ckpt_bytes_per_step=300.0)
+    assert size_aware_ckpt_every(tc, state) == -(-100_000 // 300)
+    # the rule only ever raises: a huge cadence stays
+    tc = TrainConfig(ckpt_every=10**6, ckpt_bytes_per_step=300.0)
+    assert size_aware_ckpt_every(tc, state) == 10**6
+
+
+def test_size_aware_ckpt_every_in_loop(tmp_path):
+    """With a 1-byte/step budget the tiny state's auto cadence exceeds
+    the run length, so only the end-of-run save exists; with the budget
+    off the explicit cadence produces intermediate saves too."""
+    from music2dance_tpu.audio import AudioConfig
+    from music2dance_tpu.ckpt.orbax_io import checkpoint_steps
+    from music2dance_tpu.data.device_store import DeviceFeatureStore
+    from music2dance_tpu.data.pipeline import SyntheticClipSource
+    from music2dance_tpu.models import JointLayout, tiny_gan
+    from music2dance_tpu.train import TrainConfig
+    from music2dance_tpu.train.loop import train_from_store
+
+    audio = AudioConfig(sample_rate=8000, n_fft=256, win_length=256,
+                        hop_length=200, n_mels=40, n_mfcc=13)
+    layout = JointLayout(n_joints=5, joint_dim=3)
+    gan = tiny_gan(feature_dim=audio.n_mfcc, layout=layout)
+    src = SyntheticClipSource(6, 1.0, audio, layout, seed=0)
+    store = DeviceFeatureStore.from_source(src, audio, frontend_impl="xla")
+    base = dict(batch_size=4, clip_seconds=10 / audio.feature_rate,
+                log_every=2, ckpt_every=2)
+
+    tc = TrainConfig(**base, ckpt_bytes_per_step=1.0)
+    train_from_store(gan, tc, audio, store, total_steps=6,
+                     ckpt_dir=str(tmp_path / "auto"))
+    assert checkpoint_steps(str(tmp_path / "auto")) == [6]  # end save only
+
+    tc = TrainConfig(**base, ckpt_bytes_per_step=0.0)
+    train_from_store(gan, tc, audio, store, total_steps=6,
+                     ckpt_dir=str(tmp_path / "off"))
+    assert checkpoint_steps(str(tmp_path / "off")) == [2, 4, 6]

@@ -79,12 +79,13 @@ flags.DEFINE_integer("moe_experts", 0, "mixture-of-experts MLP in the "
                      "(parallel/ep.py) at scale-out")
 flags.DEFINE_integer("moe_topk", 2, "experts per token for --moe_experts")
 flags.DEFINE_integer("eval_every", 0, "held-out eval cadence in steps (0 = off)")
-flags.DEFINE_integer("ckpt_every", 0, "checkpoint cadence in steps (0 = preset "
-                     "default, 500). The async save fetches the whole "
-                     "TrainState to the host: on link-bound hosts large "
-                     "models (e.g. the attention family, ~320 MB) can "
-                     "spend more tunnel time on checkpoints than compute "
-                     "— raise this if the loop lags the bench step rate")
+flags.DEFINE_integer("ckpt_every", 0, "checkpoint cadence in steps (0 = "
+                     "size-aware default: the preset's 500, raised "
+                     "automatically for big TrainStates so the async "
+                     "save's device->host fetch stays <= ~64 KB/step of "
+                     "link traffic — e.g. the ~320 MB attention state "
+                     "checkpoints every ~5000 steps. An explicit value "
+                     "here is used verbatim)")
 flags.DEFINE_integer("log_every", 0, "metrics/log cadence in steps (0 = preset "
                      "default, 50). THE single most throughput-critical knob "
                      "in device_store mode: it is the scan-fused chunk length, "
@@ -199,6 +200,13 @@ def main(argv):
     train_over = {}
     if FLAGS.ckpt_every > 0:
         train_over["ckpt_every"] = FLAGS.ckpt_every
+    else:
+        # size-aware default cadence (train/loop.size_aware_ckpt_every):
+        # hold checkpoint traffic <= 64 KB/step of device->host link time
+        # by raising the preset's 500-step cadence for big TrainStates
+        # (the ~320 MB attention state -> every ~5000 steps). An explicit
+        # --ckpt_every above is used verbatim instead.
+        train_over["ckpt_bytes_per_step"] = 64_000.0
     if FLAGS.n_critic > 0:
         train_over["n_critic"] = FLAGS.n_critic
     if FLAGS.ema_decay > 0:
