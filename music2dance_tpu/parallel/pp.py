@@ -45,10 +45,23 @@ reduction order — the schedule moves WHERE each block runs, never what
 it computes (tests/test_pp.py on the virtual mesh). Multi-chip perf is
 unmeasurable in this one-chip container, the same caveat as tp/sp/ep.
 
+MoE generators pipeline too: each staged block runs with
+``mutable=["losses"]`` so the Switch load-balancing auxiliary is
+collected per (block, microbatch), masked to the ticks that carry real
+microbatches (ramp-up/ramp-down ticks process garbage rows whose
+router statistics must not count), summed over stages with ``psum``,
+averaged over the data axis, and handed back to the train step via the
+``gen_apply_aux`` contract (train/step.py). Semantics note: the Switch
+aux is a product of token-means, so the per-microbatch aux averaged
+over microbatches is NOT bitwise the whole-batch aux — it is the
+standard microbatched-MoE semantics (each group of ``mb`` examples
+balances independently); the poses themselves are bit-identical to the
+dense forward because MoE routing is per-example (capacity slots are
+allocated per batch row). tests/test_pp.py pins both statements.
+
 Loud gates: attention-family generator only (a recurrent G has one
-scan, not a block stack), ``tr_blocks % n_stage == 0``, microbatch
-divisibility, and no MoE (its aux loss is sown via a mutable flax
-apply that the pipelined block scan cannot thread; use EP for MoE).
+scan, not a block stack), ``tr_blocks % n_stage == 0``, and microbatch
+divisibility.
 """
 
 from __future__ import annotations
@@ -103,13 +116,6 @@ def check_pp_family(gan: GANConfig, n_stage: int) -> None:
             f"block stack; generator.arch={g.arch!r} has a single "
             "recurrent scan, not stages — use parallel.dp / train.tbptt "
             "for the recurrent family"
-        )
-    if g.moe_experts > 1:
-        raise ValueError(
-            "pipeline parallelism does not support MoE generators (the "
-            "Switch aux loss is sown via a mutable flax apply that the "
-            "pipelined block scan cannot thread) — shard experts with "
-            "parallel.ep instead"
         )
     if n_stage < 1 or g.tr_blocks % n_stage:
         raise ValueError(
@@ -230,22 +236,35 @@ def make_pp_generator_apply(
     """(stacked_g_params, feats, z) -> poses with the block stack
     GPipe-scheduled over the mesh's stage axis. Call it under jit (the
     pipeline region is an inner shard_map); it is differentiable, so
-    it plugs straight into train/step.py's ``gen_apply`` hook."""
+    it plugs straight into train/step.py's ``gen_apply`` hook.
+
+    MoE generators (``cfg.moe_experts > 1``) return ``(poses, moe_aux)``
+    — the Switch auxiliary collected per (block, microbatch) on the
+    real-microbatch ticks only, block-and-microbatch averaged, data-axis
+    averaged (the ``gen_apply_aux`` contract)."""
     from ..models.transformer import TransformerBlock
 
     n_stage = mesh.shape[STAGE_AXIS]
+    moe = cfg.moe_experts > 1
     block = TransformerBlock(
         cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio, cfg.dtype,
         causal=True, attn_impl=cfg.attn_impl,
+        moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk,
+        moe_capacity=cfg.moe_capacity,
     )
 
     def run_local_blocks(blocks_local, x):
-        # [L/S, ...]-stacked params -> sequential per-stage block chain
+        # [L/S, ...]-stacked params -> sequential per-stage block chain;
+        # returns (h, summed Switch aux of this stage's blocks)
         def one(h, bp):
-            return block.apply({"params": bp}, h), None
+            if moe:
+                h2, sown = block.apply({"params": bp}, h,
+                                       mutable=["losses"])
+                return h2, sum(jax.tree.leaves(sown))
+            return block.apply({"params": bp}, h), jnp.float32(0.0)
 
-        h, _ = jax.lax.scan(one, x, blocks_local)
-        return h
+        h, auxes = jax.lax.scan(one, x, blocks_local)
+        return h, jnp.sum(auxes)
 
     def pipeline_body(blocks_local, x):
         # x: [b_local, T, H] (this data shard, replicated over stage)
@@ -262,12 +281,17 @@ def make_pp_generator_apply(
         n_ticks = n_micro + n_stage - 1
 
         def tick(carry, i):
-            buf, outs = carry
+            buf, outs, aux_acc = carry
             src = jax.lax.dynamic_index_in_dim(
                 micro, jnp.clip(i, 0, n_micro - 1), 0, keepdims=False
             )
             x_in = jnp.where(stage == 0, src, buf)
-            y = run_local_blocks(blocks_local, x_in)
+            y, aux_t = run_local_blocks(blocks_local, x_in)
+            # stage s holds microbatch m at tick i = m + s; every other
+            # tick this stage chews ramp garbage whose router statistics
+            # must not enter the load-balancing aux
+            real = ((i >= stage) & (i < stage + n_micro))
+            aux_acc = aux_acc + jnp.where(real, aux_t, 0.0)
             nbuf = jax.lax.ppermute(
                 y, STAGE_AXIS, [(s, s + 1) for s in range(n_stage - 1)]
             )
@@ -276,32 +300,40 @@ def make_pp_generator_apply(
             cur = jax.lax.dynamic_index_in_dim(outs, slot, 0, keepdims=False)
             new = jnp.where((stage == n_stage - 1) & (j >= 0), y, cur)
             outs = jax.lax.dynamic_update_index_in_dim(outs, new, slot, 0)
-            return (nbuf, outs), None
+            return (nbuf, outs, aux_acc), None
 
         buf0 = jnp.zeros((mb, t, hdim), x.dtype)
         outs0 = jnp.zeros((n_micro, mb, t, hdim), x.dtype)
-        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0), jnp.arange(n_ticks))
+        (_, outs, aux_acc), _ = jax.lax.scan(
+            tick, (buf0, outs0, jnp.float32(0.0)), jnp.arange(n_ticks)
+        )
         # only the last stage holds real outputs; masked psum broadcasts
         # them so every stage runs the identical (replicated) head/loss
         outs = jax.lax.psum(
             jnp.where(stage == n_stage - 1, outs, jnp.zeros_like(outs)),
             STAGE_AXIS,
         )
-        return outs.reshape(b_local, t, hdim)
+        # stages hold different blocks' aux for the same microbatches:
+        # psum -> sum over all (block, microbatch) pairs; normalize to
+        # the block-and-microbatch mean; average over data shards
+        aux = jax.lax.psum(aux_acc, STAGE_AXIS) / (cfg.tr_blocks * n_micro)
+        aux = jax.lax.pmean(aux, DATA_AXIS)
+        return outs.reshape(b_local, t, hdim), aux
 
     pipelined = jax.shard_map(
         pipeline_body,
         mesh=mesh,
         in_specs=(P(STAGE_AXIS), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=(P(DATA_AXIS), P()),
         check_vma=False,
     )
 
     def apply(g_params, feats, z):
         inner = g_params["params"]
         x = _pre(cfg, inner, feats, z)
-        x = pipelined(inner["blocks"], x)
-        return _post(cfg, inner, x)
+        x, aux = pipelined(inner["blocks"], x)
+        poses = _post(cfg, inner, x)
+        return (poses, aux) if moe else poses
 
     return apply
 
@@ -351,7 +383,8 @@ def pp_train_step(
         )
     gen_apply = make_pp_generator_apply(gan.generator, mesh, n_micro)
     step = make_train_step(gan, tc, axis_name=None, fused=False,
-                           gen_apply=gen_apply)
+                           gen_apply=gen_apply,
+                           gen_apply_aux=gan.generator.moe_experts > 1)
     pp_state = pp_import_state(state)
     state_sh = pp_shardings(pp_state, mesh)
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))

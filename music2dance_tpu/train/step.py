@@ -103,6 +103,7 @@ def make_train_step(
     axis_name: Optional[str] = None,
     fused: Optional[bool] = None,
     gen_apply=None,
+    gen_apply_aux: bool = False,
 ):
     """Build ``train_step(state, batch) -> (state, metrics)``.
 
@@ -120,6 +121,12 @@ def make_train_step(
     pipelined block schedule while keeping every other piece of the step
     (alternating phases, GP, EMA, augmentation) byte-identical. Must be
     differentiable wrt g_params.
+
+    ``gen_apply_aux``: the override returns ``(poses, moe_aux)`` instead
+    of bare poses — how a pipelined MoE generator hands its Switch
+    load-balancing auxiliary back to the loss (parallel/pp.py threads the
+    per-microbatch aux through its schedule explicitly because the
+    mutable-collection sow cannot cross the shard_map boundary).
     """
     gen = build_generator(gan.generator)
     disc = build_discriminator(gan.discriminator)
@@ -235,7 +242,8 @@ def make_train_step(
                 g_params, gan.generator, feats, z, interpret=gen_interpret
             )
         if gen_apply is not None:
-            return gen_apply(g_params, feats, z)
+            out = gen_apply(g_params, feats, z)
+            return out[0] if gen_apply_aux else out
         return gen.apply(g_params, feats, z)
 
     def critic_scores(d_params, poses, feats):
@@ -358,20 +366,32 @@ def make_train_step(
     moe_on = (
         gan.generator.arch == "transformer" and gan.generator.moe_experts > 1
     )
-    if moe_on and gen_apply is not None:
+    if moe_on and gen_apply is not None and not gen_apply_aux:
         raise ValueError(
             "gen_apply overrides cannot collect the MoE aux loss (it is "
-            "sown via a mutable flax apply) — parallel/pp.py gates MoE "
-            "generators out for this reason"
+            "sown via a mutable flax apply) — pass gen_apply_aux=True and "
+            "return (poses, moe_aux) from the override, the way "
+            "parallel/pp.py threads it through the pipeline schedule"
         )
+    if gen_apply_aux and gen_apply is None:
+        raise ValueError("gen_apply_aux=True requires a gen_apply override")
 
     def g_loss_fn(g_params, d_params, batch, key, offset=0, device_b=None):
         feats = batch["feats"]
         if moe_on:
-            # MoE blocks sow their Switch load-balancing aux; collect it
-            # with a mutable apply and add the block-mean to the loss
             z = sample_z(key, feats.shape[0], feats.dtype, offset, device_b)
-            fake, sown = gen.apply(g_params, feats, z, mutable=["losses"])
+            if gen_apply is not None:
+                # pipelined MoE: the override computed the (masked,
+                # per-microbatch-averaged) Switch aux inside its schedule
+                fake, moe_aux = gen_apply(g_params, feats, z)
+            else:
+                # MoE blocks sow their Switch load-balancing aux; collect
+                # it with a mutable apply, add the block-mean to the loss
+                fake, sown = gen.apply(
+                    g_params, feats, z, mutable=["losses"]
+                )
+                vals = jax.tree.leaves(sown)
+                moe_aux = sum(vals) / len(vals)
         else:
             fake = sample_fake(g_params, feats, key, offset=offset,
                                device_b=device_b)
@@ -380,8 +400,6 @@ def make_train_step(
         extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
         loss = loss + extra
         if moe_on:
-            vals = jax.tree.leaves(sown)
-            moe_aux = sum(vals) / len(vals)
             loss = loss + tc.moe_aux_weight * moe_aux
             aux = dict(aux, moe_aux=moe_aux)
         return loss, {"g_loss": loss, **aux}

@@ -55,6 +55,12 @@ def _gen_params(gan, b=8, t=12, live_head=True):
     feats = jax.random.normal(jax.random.key(0), (b, t, AUDIO.n_mfcc))
     z = jax.random.normal(jax.random.key(1), (b, gan.generator.noise_dim))
     params = gen.init(jax.random.key(2), feats, z)
+    # keep only the trainable collection: MoE generators sow their aux
+    # into "losses" at init too, and a stale sown value left in the
+    # variables dict would be APPENDED to by every mutable apply —
+    # polluting any aux computed from this tree (init_state strips it
+    # the same way, train/step.py:82)
+    params = {"params": params["params"]}
     if live_head:
         # head_out is zero-init (DiT stability pattern) which makes every
         # pose — and thus every gradient — exactly zero; give it weight
@@ -159,6 +165,87 @@ def test_pp_train_step_matches_single_device():
     _assert_trees_close(r2.d_params, pst2.d_params, rtol=5e-4, atol=5e-5)
 
 
+def _moe_microbatched_ref(gan, n_groups):
+    """Dense reference with PP's microbatched-MoE aux semantics: poses
+    from the standard full-batch apply (MoE routing is per-example, so
+    microbatching never changes them); Switch aux computed per
+    contiguous group of B/n_groups examples — exactly the (data shard,
+    microbatch) slices the pipeline sees — and group-averaged."""
+    gen = build_generator(gan.generator)
+
+    def ref_apply(params, feats, z):
+        poses = gen.apply(params, feats, z)
+        mb = feats.shape[0] // n_groups
+        auxes = []
+        for g in range(n_groups):
+            sl = slice(g * mb, (g + 1) * mb)
+            _, sown = gen.apply(params, feats[sl], z[sl],
+                                mutable=["losses"])
+            vals = jax.tree.leaves(sown)
+            auxes.append(sum(vals) / len(vals))
+        return poses, sum(auxes) / len(auxes)
+
+    return ref_apply
+
+
+@pytest.mark.parametrize("n_stage,n_micro", [(2, 2), (4, 2)])
+def test_pp_moe_forward_and_aux_match(n_stage, n_micro):
+    gan = _gan(moe_experts=4, moe_topk=2)
+    gen, params, feats, z = _gen_params(gan)
+    n_data = 2
+    ref_apply = _moe_microbatched_ref(gan, n_data * n_micro)
+    ref_poses, ref_aux = ref_apply(params, feats, z)
+
+    mesh = make_mesh_pp(n_data, n_stage)
+    apply = make_pp_generator_apply(gan.generator, mesh, n_micro)
+    got_poses, got_aux = jax.jit(apply)(pp_stack_params(params), feats, z)
+    np.testing.assert_allclose(np.asarray(got_poses), np.asarray(ref_poses),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got_aux), float(ref_aux),
+                               rtol=1e-5, atol=1e-6)
+    # ramp-tick masking matters: the garbage ticks' router statistics
+    # would otherwise drag the aux toward the all-zero-input value
+    assert np.isfinite(float(got_aux)) and float(got_aux) >= 1.0 - 1e-3
+
+
+def test_pp_moe_train_step_matches_microbatched_reference():
+    gan = _gan(moe_experts=4, moe_topk=2)
+    b, t = 8, 12
+    batch = _batch(b, t)
+    tc = TrainConfig(batch_size=b, clip_seconds=0.4, ema_decay=0.99,
+                     moe_aux_weight=0.01)
+    state = init_state(jax.random.key(4), gan, tc, batch)
+
+    n_data, n_stage, n_micro = 2, 2, 2
+    ref_apply = _moe_microbatched_ref(gan, n_data * n_micro)
+    ref_step = jax.jit(make_train_step(gan, tc, fused=False,
+                                       gen_apply=ref_apply,
+                                       gen_apply_aux=True))
+    r1, ref_metrics = ref_step(state, batch)
+    assert "moe_aux" in ref_metrics
+
+    mesh = make_mesh_pp(n_data, n_stage)
+    step, pst = pp_train_step(gan, tc, mesh, state, n_micro=n_micro,
+                              donate=False)
+    pst, m = step(pst, batch)
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(ref_metrics[k]), float(m[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    _assert_trees_close(r1.g_params, pp_export_params(pst.g_params),
+                        rtol=5e-4, atol=5e-5)
+    _assert_trees_close(r1.d_params, pst.d_params, rtol=5e-4, atol=5e-5)
+
+
+def test_gen_apply_aux_contract_gates():
+    gan = _gan(moe_experts=4)
+    tc = TrainConfig(batch_size=8, clip_seconds=0.4)
+    with pytest.raises(ValueError, match="gen_apply_aux"):
+        make_train_step(gan, tc, fused=False,
+                        gen_apply=lambda p, f, z: f)
+    with pytest.raises(ValueError, match="requires a gen_apply"):
+        make_train_step(gan, tc, fused=False, gen_apply_aux=True)
+
+
 def test_pp_gates():
     b = 8
     batch = _batch(b, 12)
@@ -176,11 +263,6 @@ def test_pp_gates():
     state = init_state(jax.random.key(0), odd, tc, batch)
     with pytest.raises(ValueError, match="does not divide"):
         pp_train_step(odd, tc, mesh, state, donate=False)
-
-    moe = _gan(moe_experts=4)
-    state = init_state(jax.random.key(0), moe, tc, batch)
-    with pytest.raises(ValueError, match="MoE"):
-        pp_train_step(moe, tc, mesh, state, donate=False)
 
     good = _gan()
     state = init_state(jax.random.key(0), good, tc, batch)
