@@ -109,9 +109,23 @@ def preset(name: str, layout: JointLayout = JointLayout()) -> Preset:
         TrainConfig(batch_size=16, clip_seconds=30.0),
         audio,
     )
+    # Long-clip attention training with an ATTENTION critic: the round-3
+    # gap attn_long documents ("grad-of-grad through the flash kernel")
+    # is closed by the second-order flash core (ops/flash2.py) — the
+    # critic's 'auto' routing rides it at T >= 256, so the WGAN-GP
+    # second order streams blockwise instead of materializing the
+    # [B, heads, T, T] logits at every differentiation level.
+    table["attn_long_ac"] = Preset(
+        "attn_long_ac",
+        "attention G (flash) + attention critic (flash2), whole 30 s clips",
+        transformer_gan(f, layout),
+        TrainConfig(batch_size=16, clip_seconds=30.0),
+        audio,
+    )
     if name not in table:
         raise KeyError(f"unknown preset {name!r}; have {sorted(table)}")
     return table[name]
 
 
-PRESET_NAMES = ("tiny", "full", "long", "perf", "attn", "attn_long")
+PRESET_NAMES = ("tiny", "full", "long", "perf", "attn", "attn_long",
+                "attn_long_ac")

@@ -51,7 +51,10 @@ class GeneratorConfig:
     tr_blocks: int = 4
     tr_heads: int = 4
     tr_mlp_ratio: int = 4
-    attn_impl: str = "auto"        # "auto" | "xla" | "flash" (models/transformer.py)
+    attn_impl: str = "auto"        # "auto" | "xla" | "flash" | "flash2"
+    #   (models/transformer.py routing; "flash2" = the second-order-
+    #   capable core in ops/flash2.py — the only flash a WGAN-GP critic
+    #   can ride)
     # mixture-of-experts MLP (arch="transformer" only): moe_experts > 1
     # replaces every block's dense MLP with a top-k routed expert bank
     # (models/transformer.py MoEMLP — GShard dense-dispatch formulation;
@@ -84,7 +87,8 @@ class DiscriminatorConfig:
     tr_blocks: int = 4
     tr_heads: int = 4
     tr_mlp_ratio: int = 4
-    attn_impl: str = "auto"        # "auto" | "xla" | "flash"
+    attn_impl: str = "auto"        # "auto" | "xla" | "flash" | "flash2";
+    #   the critic's "auto" routes to flash2 at T >= 256 (ops/flash2.py)
     # temporal conv stack
     conv_dim: int = 128
     conv_layers: int = 2

@@ -73,7 +73,7 @@ def use_flash_attention(t: int, head_dim: int, impl: str) -> bool:
     """Route the attention core: Pallas flash attention on TPU for long
     sequences (no [T, T] materialization — 30 s clips train whole), the
     XLA einsum path otherwise (short clips, CPU tests, interpret)."""
-    if impl == "xla":
+    if impl in ("xla", "flash2"):
         return False
     if impl == "flash":
         if jax.default_backend() != "tpu":
@@ -146,6 +146,10 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: str
     causal: bool
     impl: str = "auto"
+    # flash2 routing: the critic needs arbitrary-order AD (WGAN-GP's
+    # grad-of-grad); the generator is only ever differentiated once and
+    # gets the Pallas-both-directions custom_vjp core (ops/flash2.py)
+    second_order: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -162,6 +166,17 @@ class MultiHeadSelfAttention(nn.Module):
 
         if use_flash_attention(t, hd, self.impl):
             ctx = _flash_attention(q, k, v, self.causal)
+        elif self.impl == "flash2":
+            # second-order-capable flash core (ops/flash2.py): Pallas
+            # kernels on the primal/first-order paths, exact chunked XLA
+            # on every higher derivative — the WGAN-GP critic's core
+            from ..ops.flash2 import flash2_attention
+
+            ctx = flash2_attention(
+                q, k, v, causal=self.causal,
+                sm_scale=1.0 / float(np.sqrt(hd)),
+                first_order=not self.second_order,
+            )
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             logits = logits / np.sqrt(hd)
@@ -271,13 +286,14 @@ class TransformerBlock(nn.Module):
     moe_experts: int = 0
     moe_topk: int = 2
     moe_capacity: float = 1.25
+    attn_second_order: bool = True
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(name="ln1")(x)
         h = MultiHeadSelfAttention(
             self.d_model, self.heads, self.dtype, self.causal,
-            self.attn_impl, name="attn",
+            self.attn_impl, self.attn_second_order, name="attn",
         )(h)
         x = x + h
         h = nn.LayerNorm(name="ln2")(x)
@@ -340,6 +356,7 @@ class TransformerGenerator(nn.Module):
                 cfg.dtype, causal=True, attn_impl=cfg.attn_impl,
                 moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk,
                 moe_capacity=cfg.moe_capacity,
+                attn_second_order=False,  # G never takes grad-of-grad
                 name=f"block_{i}",
             )(x)
         x = nn.LayerNorm(name="ln_f")(x)
@@ -400,22 +417,26 @@ class TransformerCritic(nn.Module):
 
         x = nn.Dense(cfg.hidden_dim, name="in_proj", dtype=cfg.dtype)(x)
         x = x + sinusoidal_positions(t, cfg.hidden_dim, x.dtype)[None]
-        # The critic never rides the flash kernel: WGAN-GP
+        # The critic never rides the STOCK flash kernel: WGAN-GP
         # differentiates the critic's input-gradient (grad-of-grad), and
-        # the flash kernel's custom VJP is first-order only ("Higher-
-        # order AD not supported", measured on hardware). The generator
-        # is free to use flash — nothing ever takes second-order
-        # derivatives through G. For long clips pair this generator with
-        # the TCN critic (the attn_long preset) whose GP is pure MXU.
+        # that kernel's custom VJP is first-order only ("Higher-order AD
+        # not supported", measured on hardware). The second-order flash
+        # core (ops/flash2.py) exists exactly for this seat: 'auto'
+        # routes to it at lengths where the einsum path's [B, h, T, T]
+        # logits dominate, and 'flash2' forces it.
         if cfg.attn_impl == "flash":
             raise ValueError(
                 "attn_impl='flash' is not supported on the critic: the "
-                "flash kernel's VJP is first-order only and WGAN-GP "
-                "needs grad-of-grad through the critic — it would fail "
-                "deep in the kernel at the first train step. The critic "
-                "rides the XLA attention path ('auto'/'xla')."
+                "stock flash kernel's VJP is first-order only and "
+                "WGAN-GP needs grad-of-grad through the critic — it "
+                "would fail deep in the kernel at the first train step. "
+                "Use 'flash2' (ops/flash2.py — arbitrary-order flash) "
+                "or 'auto'/'xla'."
             )
-        impl = "xla"
+        if cfg.attn_impl == "flash2" or (cfg.attn_impl == "auto" and t >= 256):
+            impl = "flash2"
+        else:
+            impl = "xla"
         for i in range(cfg.tr_blocks):
             x = TransformerBlock(
                 cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,

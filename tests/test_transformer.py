@@ -186,11 +186,14 @@ def test_tbptt_rejected():
 
 
 def test_streaming_rejected():
+    # the DIRECT recurrent-session constructor stays loud on the wrong
+    # family (transformer streams via the KV-cache session instead —
+    # make_streaming_session() dispatches; tests/test_attn_stream.py)
     from music2dance_tpu.infer.streaming import StreamingSession
 
     gan = _tiny_attn()
     _, params, _, z = _init_gen(gan)
-    with pytest.raises(ValueError, match="recurrent-family"):
+    with pytest.raises(ValueError, match="make_streaming_session"):
         StreamingSession(params, gan.generator, z)
 
 
