@@ -1,8 +1,9 @@
 """Parallelism: device mesh, shard_map data parallelism, GSPMD tensor
 parallelism for wide models, GSPMD sequence (context) parallelism for
 the attention family's long clips, GSPMD expert parallelism for MoE
-generators, FSDP (ZeRO-3) state sharding over the data axis, GPipe
-pipeline parallelism, multi-host (DCN) initialization."""
+generators, FSDP (ZeRO-3) state sharding over the data axis, pipeline
+parallelism (GPipe and lockstep-1F1B schedules), multi-host (DCN)
+initialization."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .dp import shard_decode, shard_tbptt_train_step, shard_train_step
@@ -34,6 +35,7 @@ from .pp import (
     pp_import_state,
     pp_train_step,
 )
+from .pp_1f1b import make_pp_1f1b_g_vag, pp_train_step_1f1b
 
 __all__ = [
     "DATA_AXIS",
@@ -42,9 +44,11 @@ __all__ = [
     "SEQ_AXIS",
     "STAGE_AXIS",
     "make_mesh_pp",
+    "make_pp_1f1b_g_vag",
     "pp_export_params",
     "pp_import_state",
     "pp_train_step",
+    "pp_train_step_1f1b",
     "check_ep_divisibility",
     "ep_decode",
     "ep_train_step",

@@ -104,6 +104,7 @@ def make_train_step(
     fused: Optional[bool] = None,
     gen_apply=None,
     gen_apply_aux: bool = False,
+    g_vag=None,
 ):
     """Build ``train_step(state, batch) -> (state, metrics)``.
 
@@ -127,12 +128,29 @@ def make_train_step(
     load-balancing auxiliary back to the loss (parallel/pp.py threads the
     per-microbatch aux through its schedule explicitly because the
     mutable-collection sow cannot cross the shard_map boundary).
+
+    ``g_vag``: optional override of the ENTIRE generator-phase
+    value-and-grad: ``(g_params, d_params, batch, z) -> ((loss, aux),
+    grads)`` with ``z`` drawn by the step's canonical per-example keys.
+    Used by parallel/pp_1f1b.py, whose interleaved forward/backward
+    schedule cannot be expressed as a forward for ``jax.grad`` to
+    differentiate. The critic phases still use ``gen_apply`` (forward
+    only). XLA-path only, and incompatible with grad_accum (the 1F1B
+    schedule already microbatches).
     """
     gen = build_generator(gan.generator)
     disc = build_discriminator(gan.discriminator)
     if gen_apply is not None and fused:
         raise ValueError("gen_apply overrides are XLA-path only (fused "
                          "kernels apply the factory generator)")
+    if g_vag is not None and fused:
+        raise ValueError("g_vag overrides are XLA-path only (the fused "
+                         "generator phase has its own two-phase VJP)")
+    if g_vag is not None and tc.grad_accum > 1:
+        raise ValueError(
+            "g_vag with grad_accum would nest two microbatching schemes "
+            "— 1F1B already streams microbatches; raise n_micro instead"
+        )
     tx_g, tx_d = make_optimizers(tc)
     cond = gan.discriminator.conditional
     if tc.mismatch_weight and not cond:
@@ -375,6 +393,11 @@ def make_train_step(
         )
     if gen_apply_aux and gen_apply is None:
         raise ValueError("gen_apply_aux=True requires a gen_apply override")
+    if g_vag is not None and moe_on:
+        raise ValueError(
+            "g_vag overrides do not thread the MoE Switch aux — use the "
+            "GPipe pp_train_step for MoE generators (parallel/pp.py)"
+        )
 
     def g_loss_fn(g_params, d_params, batch, key, offset=0, device_b=None):
         feats = batch["feats"]
@@ -550,6 +573,14 @@ def make_train_step(
                 ([jnp.zeros_like(f) for f in fakes_fwd], dfake)
             )
             g_aux = {"g_loss": g_loss_val, **fm_aux}
+        elif g_vag is not None:
+            # hand-scheduled generator phase (parallel/pp_1f1b.py): the
+            # hook computes loss AND grads itself; z comes from the same
+            # key path sample_fake would use, so both schedules draw
+            # identical noise
+            k = jax.random.fold_in(base, tc.n_critic)
+            z = sample_z(k, b, feats.dtype)
+            (_, g_aux), g_grads = g_vag(state.g_params, d_params, batch, z)
         elif K > 1:
             k = jax.random.fold_in(base, tc.n_critic)
             g_aux, g_grads = accum(

@@ -3,7 +3,7 @@
 Examples:
   python train.py --preset tiny --steps 100 --synthetic
   python train.py --preset full --steps 10000 --data_dir clips/ \
-      --ckpt_dir runs/full --log_dir runs/full
+      --ckpt_dir runs/full --metrics_dir runs/full
   python train.py --preset full --dp 4 ...        # 4-device data parallel
 """
 
@@ -134,6 +134,15 @@ flags.DEFINE_float("aug_noise", 0.0, "Gaussian noise std on real pose "
 
 def main(argv):
     del argv
+    if getattr(FLAGS, "log_dir", "") and FLAGS.metrics_dir is None:
+        # absl.logging owns --log_dir, so a user passing it expecting the
+        # metrics JSONL (the natural guess) would train for an hour and
+        # log NOTHING — fail up front with the right flag named
+        raise SystemExit(
+            "--log_dir is absl's Python-log directory, not the metrics "
+            "sink — pass --metrics_dir for the training JSONL "
+            "(and --ckpt_dir for checkpoints)"
+        )
     from music2dance_tpu.configs.presets import preset
     from music2dance_tpu.data.pipeline import (
         BeatClipSource,
