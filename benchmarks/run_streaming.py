@@ -30,27 +30,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from music2dance_tpu.audio import AudioConfig
-from music2dance_tpu.infer.streaming import StreamingSession
-from music2dance_tpu.models import Generator, full_gan
+from music2dance_tpu.infer.streaming import make_streaming_session
+from music2dance_tpu.models import build_generator, full_gan, transformer_gan
 
 
 def main():
     audio = AudioConfig()
-    gan = full_gan(feature_dim=audio.n_features)
-    cfg = gan.generator
-    gen = Generator(cfg)
-    feats0 = jax.random.normal(jax.random.key(0), (1, 8, cfg.feature_dim))
-    z = jax.random.normal(jax.random.key(1), (1, cfg.noise_dim))
-    params = gen.init(jax.random.key(2), feats0, z)
-
     fps = audio.feature_rate
     rng = np.random.default_rng(0)
 
-    def measure(b: int, chunk_frames: int) -> dict:
-        zb = jax.random.normal(jax.random.key(1), (b, cfg.noise_dim))
-        sess = StreamingSession(params, cfg, zb)
+    gan = full_gan(feature_dim=audio.n_features)
+    cfg = gan.generator
+    feats0 = jax.random.normal(jax.random.key(0), (1, 8, cfg.feature_dim))
+    z = jax.random.normal(jax.random.key(1), (1, cfg.noise_dim))
+    params = build_generator(cfg).init(jax.random.key(2), feats0, z)
+
+    # attention family (round 4): KV-cache incremental decode rides the
+    # same session API — per-feed cost is one windowed block-stack call
+    # against the cached K/V, not a whole-prefix re-decode
+    cfg_a = transformer_gan(feature_dim=audio.n_features).generator
+    z_a = jax.random.normal(jax.random.key(1), (1, cfg_a.noise_dim))
+    params_a = build_generator(cfg_a).init(jax.random.key(2), feats0, z_a)
+
+    def measure(b: int, chunk_frames: int, arch: str = "rnn") -> dict:
+        c, pr = (cfg_a, params_a) if arch == "attn" else (cfg, params)
+        zb = jax.random.normal(jax.random.key(1), (b, c.noise_dim))
+        sess = make_streaming_session(pr, c, zb)
         chunk = rng.standard_normal(
-            (b, chunk_frames, cfg.feature_dim)).astype(np.float32)
+            (b, chunk_frames, c.feature_dim)).astype(np.float32)
         for _ in range(5):  # compile + warm the steady-state program
             sess.feed(chunk)
         n = 20
@@ -64,6 +71,7 @@ def main():
         return {
             "metric": "streaming_feed_latency",
             "backend": jax.default_backend(),
+            "arch": arch,
             "streams": b,
             "chunk_frames": chunk_frames,
             "chunk_ms": round(chunk_frames / fps * 1e3, 1),
@@ -81,6 +89,10 @@ def main():
     # decode batch-scaling table in RESULTS.md)
     for b in (16, 64):
         print(json.dumps(measure(b, 3)))
+    # attention family: KV-cache incremental decode (infer/attn_stream.py)
+    for chunk_frames in (3, 30):
+        print(json.dumps(measure(1, chunk_frames, arch="attn")))
+    print(json.dumps(measure(16, 3, arch="attn")))
 
 
 if __name__ == "__main__":
