@@ -180,7 +180,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
     m, l, acc = jax.lax.fori_loop(0, n_eff, body, (m0, l0, a0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # lse rides a [R, Tp, 1] layout: a 2-D (1, bq) block would violate
+    # the TPU lowering's (8, 128) block-divisibility rule for R > 1;
+    # the trailing singleton makes the block (1, bq, 1) — bq tiles the
+    # sublane dim, the 1 equals the array's lane dim
+    lse_ref[0] = m + jnp.log(l)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, c_ref, lse_ref, delta_ref, dq_ref, *,
@@ -188,8 +192,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, c_ref, lse_ref, delta_ref, dq_ref, *,
     i = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale
     c = c_ref[0].astype(jnp.float32)                         # [bq, D]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]                                         # [bq, 1]
+    delta = delta_ref[0]
     qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
     def body(j, dq):
@@ -230,8 +234,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, c_ref, lse_ref, delta_ref,
         dk, dv = carry
         qb = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32) * scale
         cb = c_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * bq, bq)][:, None]
-        delta = delta_ref[0, pl.ds(i * bq, bq)][:, None]
+        lse = lse_ref[0, pl.ds(i * bq, bq), :]               # [bq, 1]
+        delta = delta_ref[0, pl.ds(i * bq, bq), :]
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -299,18 +303,18 @@ def _pallas_fwd(q, k, v, causal, scale, interpret, with_lse=False):
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda r_, i: (r_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda r_, i: (r_, i),
+            pl.BlockSpec((1, bq, 1), lambda r_, i: (r_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((r, tp, d), q.dtype),
-            jax.ShapeDtypeStruct((r, tp), jnp.float32),
+            jax.ShapeDtypeStruct((r, tp, 1), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
     )(qp, kp, vp)
     if with_lse:
-        return o[:, :t], lse
+        return o[:, :t], lse[..., 0]
     return o[:, :t]
 
 
@@ -328,9 +332,11 @@ def _pallas_bwd(q, k, v, c, causal, scale, interpret):
         ((0, 0), (0, tp - t)),
     )                                                        # [R, Tp]
     qp, kp, vp, cp = (_pad_t(x, tp) for x in (q, k, v, c))
+    # lse/delta ride [R, Tp, 1] (see _fwd_kernel's lse note)
+    lse3, delta3 = lse[..., None], delta[..., None]
     row = pl.BlockSpec((1, tp, d), lambda r_, i: (r_, 0, 0),
                        memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, tp), lambda r_, i: (r_, 0),
+    vec = pl.BlockSpec((1, tp, 1), lambda r_, i: (r_, 0, 0),
                        memory_space=pltpu.VMEM)
     blk = lambda b: pl.BlockSpec((1, b, d), lambda r_, i: (r_, i, 0),
                                  memory_space=pltpu.VMEM)
@@ -340,15 +346,15 @@ def _pallas_bwd(q, k, v, c, causal, scale, interpret):
                           t_valid=t, bq=bq, bk=bk, nk=nk),
         grid=(r, nq),
         in_specs=[blk(bq), row, row, blk(bq),
-                  pl.BlockSpec((1, bq), lambda r_, i: (r_, i),
+                  pl.BlockSpec((1, bq, 1), lambda r_, i: (r_, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, bq), lambda r_, i: (r_, i),
+                  pl.BlockSpec((1, bq, 1), lambda r_, i: (r_, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=blk(bq),
         out_shape=jax.ShapeDtypeStruct((r, tp, d), q.dtype),
         interpret=interpret,
         compiler_params=params,
-    )(qp, kp, vp, cp, lse, delta)
+    )(qp, kp, vp, cp, lse3, delta3)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           t_valid=t, bq=bq, bk=bk, nq=nq),
@@ -359,7 +365,7 @@ def _pallas_bwd(q, k, v, c, causal, scale, interpret):
                    jax.ShapeDtypeStruct((r, tp, d), v.dtype)],
         interpret=interpret,
         compiler_params=params,
-    )(kp, vp, qp, cp, lse, delta)
+    )(kp, vp, qp, cp, lse3, delta3)
     return dq[:, :t], dk[:, :t], dv[:, :t]
 
 
