@@ -74,11 +74,24 @@ def parity(t: int = 512, b: int = 2):
             grads[impl] = jax.jit(jax.grad(gp))(params)
     val_rel = abs(values["flash2"] - values["xla"]) / (
         abs(values["xla"]) + 1e-12)
+    # Per-leaf relative diff with a NOISE FLOOR on the denominator. Some
+    # critic parameters have an ANALYTICALLY ZERO gp-gradient: the
+    # attention k bias shifts every logit of a query row equally
+    # (softmax-invariant), and additive score-path biases vanish under
+    # the GP's d/d_poses — both paths compute O(1e-9) reduction-order
+    # noise there, and a pure-relative comparison of noise against noise
+    # reads as O(1) divergence while every REAL leaf agrees to ~1e-6
+    # (measured on-chip, benchmarks/debug_flash2.py; same knife edge
+    # tests/test_tp.py documents). Flooring the denominator at
+    # 1e-4 x the global grad scale turns those leaves into an absolute
+    # check at a tolerance 30x above their noise, without loosening any
+    # leaf that carries signal.
+    leaves_x = jax.tree_util.tree_leaves(grads["xla"])
+    gmax = max(float(np.abs(np.asarray(x)).max()) for x in leaves_x)
     worst = 0.0
-    for a, b_ in zip(jax.tree_util.tree_leaves(grads["flash2"]),
-                     jax.tree_util.tree_leaves(grads["xla"])):
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads["flash2"]), leaves_x):
         a, b_ = np.asarray(a), np.asarray(b_)
-        denom = np.abs(b_).max() + 1e-12
+        denom = max(float(np.abs(b_).max()), 1e-4 * gmax) + 1e-12
         worst = max(worst, float(np.abs(a - b_).max() / denom))
     emit("flash2_gp_parity", t=t, batch=b,
          gp_value_flash2=round(values["flash2"], 6),

@@ -290,6 +290,14 @@ def make_pp_1f1b_g_vag(gan: GANConfig, tc: TrainConfig, mesh: Mesh,
     )
 
     def g_vag(g_params, d_params, batch, z):
+        if set(g_params) != {"params"}:
+            raise ValueError(
+                f"1F1B g_vag expects a params-only variable dict; got "
+                f"collections {sorted(g_params)} — a variant carrying "
+                "e.g. batch_stats cannot ride this schedule (the rebuilt "
+                "gradient tree would drop the extra collection and fail "
+                "opaquely at the optax update)"
+            )
         inner = g_params["params"]
         extra = set(inner) - {"blocks", *_PRE_KEYS, *_POST_KEYS}
         if extra:

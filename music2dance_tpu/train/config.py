@@ -58,6 +58,15 @@ class TrainConfig:
     #   eval beat-alignment metric (negated max lag-windowed correlation
     #   between generated speed envelope and the MFCC-c0 onset proxy) —
     #   train/conditioning.beat_alignment_loss
+    beat_loss_final: float = 0.0   # annealed floor for the beat aux (used
+    #   only when beat_loss_anneal_steps > 0)
+    beat_loss_anneal_steps: int = 0  # >0: cosine-anneal the beat aux
+    #   weight from beat_loss_weight (step 0) to beat_loss_final over
+    #   this many steps, then hold. The round-4 lever sweep showed a
+    #   constant strong weight (0.5) teaches alignment but wrecks
+    #   fidelity while a constant weak one (0.05) never teaches it —
+    #   annealing trains the coupling early and lets the adversarial
+    #   loss pull the motion back onto the manifold (RESULTS.md round 5)
     moe_aux_weight: float = 0.01   # Switch load-balancing aux weight when
     #   the generator uses MoE blocks (generator.moe_experts > 1); the
     #   aux is the block-mean of E*sum_e f_e*P_e (1.0 at perfect balance)

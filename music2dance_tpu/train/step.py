@@ -93,7 +93,13 @@ def init_state(
         opt_g=tx_g.init(g_params),
         opt_d=tx_d.init(d_params),
         rng=krest,
-        ema_g_params=g_params if tc.ema_decay > 0.0 else None,
+        # a fresh COPY, not an alias: the train loops jit with
+        # donate_argnums=(0,), and donating g_params and ema_g_params
+        # as the same buffers is an XLA error ("attempt to donate the
+        # same buffer twice") — hit on the CPU backend by
+        # `train.py --ema_decay ... --input_mode stream` (round 5)
+        ema_g_params=(jax.tree.map(jnp.copy, g_params)
+                      if tc.ema_decay > 0.0 else None),
     )
 
 
@@ -360,7 +366,20 @@ def make_train_step(
         aux["d_loss"] = loss
         return loss, aux
 
-    def g_aux_losses(d_params, fake, real, feats):
+    def beat_weight(step):
+        """Effective beat-aux weight at ``step`` (traced int is fine —
+        the schedule is arithmetic, not control flow)."""
+        w0 = tc.beat_loss_weight
+        if not tc.beat_loss_anneal_steps or step is None:
+            return w0
+        frac = jnp.minimum(
+            jnp.asarray(step, jnp.float32) / tc.beat_loss_anneal_steps, 1.0
+        )
+        return tc.beat_loss_final + (w0 - tc.beat_loss_final) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * frac)
+        )
+
+    def g_aux_losses(d_params, fake, real, feats, step=None):
         """Optional generator auxiliaries beyond -E[D(fake)] (score term
         handled by the caller): feature matching via one XLA critic
         feature pass (the fused critic doesn't expose conv intermediates
@@ -377,8 +396,11 @@ def make_train_step(
             from .conditioning import beat_alignment_loss
 
             bl = beat_alignment_loss(fake, feats)
-            extra = extra + tc.beat_loss_weight * bl
+            w = beat_weight(step)
+            extra = extra + w * bl
             aux["beat_loss"] = bl
+            if tc.beat_loss_anneal_steps:
+                aux["beat_w"] = jnp.asarray(w, jnp.float32)
         return extra, aux
 
     moe_on = (
@@ -399,7 +421,8 @@ def make_train_step(
             "GPipe pp_train_step for MoE generators (parallel/pp.py)"
         )
 
-    def g_loss_fn(g_params, d_params, batch, key, offset=0, device_b=None):
+    def g_loss_fn(g_params, d_params, batch, key, offset=0, device_b=None,
+                  step=None):
         feats = batch["feats"]
         if moe_on:
             z = sample_z(key, feats.shape[0], feats.dtype, offset, device_b)
@@ -420,7 +443,8 @@ def make_train_step(
                                device_b=device_b)
         s_fake = critic_scores(d_params, fake, feats)
         loss = generator_loss(s_fake, fake, tc.continuity_weight)
-        extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
+        extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats,
+                                  step=step)
         loss = loss + extra
         if moe_on:
             loss = loss + tc.moe_aux_weight * moe_aux
@@ -563,7 +587,8 @@ def make_train_step(
             def g_core(fake):
                 s_fake = critic_scores(d_params, fake, feats)
                 loss = generator_loss(s_fake, fake, tc.continuity_weight)
-                extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats)
+                extra, aux = g_aux_losses(d_params, fake, batch["poses"], feats,
+                                          step=state.step)
                 return loss + extra, aux
 
             (g_loss_val, fm_aux), dfake = jax.value_and_grad(
@@ -584,13 +609,14 @@ def make_train_step(
         elif K > 1:
             k = jax.random.fold_in(base, tc.n_critic)
             g_aux, g_grads = accum(
-                lambda p, mbt, off: g_loss_fn(p, d_params, mbt, k, off, b),
+                lambda p, mbt, off: g_loss_fn(p, d_params, mbt, k, off, b,
+                                              step=state.step),
                 state.g_params,
             )
         else:
             k = jax.random.fold_in(base, tc.n_critic)
             (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.g_params, d_params, batch, k
+                state.g_params, d_params, batch, k, step=state.step
             )
         g_grads = pmean(g_grads)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)

@@ -217,3 +217,39 @@ def test_beat_loss_exact_under_grad_accum():
     fb, _ = jax.flatten_util.ravel_pytree(b.g_params)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_beat_anneal_schedule_decays_and_holds():
+    """Round-5 lever: beat_loss_anneal_steps cosine-decays the effective
+    weight from beat_loss_weight to beat_loss_final, then holds — read
+    back through the step's beat_w metric (which only exists when the
+    anneal is on)."""
+    gan = _tiny()
+    tc = TrainConfig(batch_size=4, beat_loss_weight=0.5,
+                     beat_loss_final=0.02, beat_loss_anneal_steps=4)
+    batch = _batch()
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    step = jax.jit(make_train_step(gan, tc))
+    ws = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        assert "beat_w" in m
+        ws.append(float(m["beat_w"]))
+    # step counter inside the G phase is the PRE-update step: 0,1,2,...
+    expect = [0.02 + 0.48 * 0.5 * (1 + np.cos(np.pi * min(s / 4, 1.0)))
+              for s in range(6)]
+    np.testing.assert_allclose(ws, expect, rtol=1e-5)
+    assert ws[0] == pytest.approx(0.5, rel=1e-5)
+    assert ws[4] == pytest.approx(0.02, rel=1e-5)
+    assert ws[5] == pytest.approx(0.02, rel=1e-5)
+
+
+def test_beat_anneal_off_keeps_metric_surface():
+    """anneal_steps=0 must not add the beat_w metric (byte-identical
+    metric surface to round 4)."""
+    gan = _tiny()
+    tc = TrainConfig(batch_size=4, beat_loss_weight=0.2)
+    batch = _batch()
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    _, m = jax.jit(make_train_step(gan, tc))(state, batch)
+    assert "beat_loss" in m and "beat_w" not in m

@@ -165,3 +165,22 @@ def test_fused_step_equals_xla_step(cell):
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_ema_state_donatable():
+    """init_state must not alias ema_g_params to g_params: the train
+    loops jit the step with donate_argnums=(0,), and donating the same
+    buffer twice is an XLA runtime error (hit via train.py --ema_decay
+    on the stream loop, round 5). The EMA leaves must be fresh buffers
+    and one donated step must execute."""
+    tc = TrainConfig(batch_size=4, ema_decay=0.99)
+    batch = make_batch(batch=4)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+    for g, e in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(state.ema_g_params)):
+        assert g.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+    step = jax.jit(make_train_step(GAN, tc), donate_argnums=(0,))
+    state, metrics = step(state, batch)  # raised pre-fix
+    assert int(state.step) == 1
+    assert all(bool(jnp.isfinite(jnp.mean(v))) for v in metrics.values())

@@ -106,6 +106,11 @@ flags.DEFINE_float("mismatch_weight", 0.0, "matching-aware critic term: "
                    "— forces audio-conditioning (train/conditioning.py)")
 flags.DEFINE_float("beat_loss", 0.0, "G auxiliary: differentiable twin of "
                    "the eval beat-alignment metric (0 = off)")
+flags.DEFINE_float("beat_loss_final", 0.0, "annealed floor for --beat_loss "
+                   "(only with --beat_loss_anneal_steps > 0)")
+flags.DEFINE_integer("beat_loss_anneal_steps", 0, "cosine-anneal the beat "
+                     "aux weight from --beat_loss to --beat_loss_final "
+                     "over this many steps (0 = constant weight)")
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
@@ -136,12 +141,21 @@ def main(argv):
     del argv
     if getattr(FLAGS, "log_dir", "") and FLAGS.metrics_dir is None:
         # absl.logging owns --log_dir, so a user passing it expecting the
-        # metrics JSONL (the natural guess) would train for an hour and
-        # log NOTHING — fail up front with the right flag named
-        raise SystemExit(
-            "--log_dir is absl's Python-log directory, not the metrics "
-            "sink — pass --metrics_dir for the training JSONL "
-            "(and --ckpt_dir for checkpoints)"
+        # metrics JSONL (the natural guess) could train for an hour and
+        # log NOTHING. Only hard-fail when nothing durable would be
+        # written at all; a user who also passed --ckpt_dir may
+        # legitimately want absl's Python-log directory by itself.
+        if FLAGS.ckpt_dir is None:
+            raise SystemExit(
+                "--log_dir is absl's Python-log directory, not the "
+                "metrics sink — pass --metrics_dir for the training "
+                "JSONL (and --ckpt_dir for checkpoints)"
+            )
+        print(
+            "WARNING: --log_dir is absl's Python-log directory; the "
+            "training metrics JSONL is only written under --metrics_dir "
+            "(not set — metrics will not be persisted)",
+            flush=True,
         )
     from music2dance_tpu.configs.presets import preset
     from music2dance_tpu.data.pipeline import (
@@ -226,6 +240,9 @@ def main(argv):
         train_over["mismatch_weight"] = FLAGS.mismatch_weight
     if FLAGS.beat_loss > 0:
         train_over["beat_loss_weight"] = FLAGS.beat_loss
+    if FLAGS.beat_loss_anneal_steps > 0:
+        train_over["beat_loss_anneal_steps"] = FLAGS.beat_loss_anneal_steps
+        train_over["beat_loss_final"] = FLAGS.beat_loss_final
     if FLAGS.grad_clip > 0:
         train_over["grad_clip_norm"] = FLAGS.grad_clip
     if FLAGS.grad_accum > 1:
