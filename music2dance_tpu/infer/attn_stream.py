@@ -150,6 +150,13 @@ class TransformerStreamingSession(_ChunkedSession):
                 f"models (arch={cfg.arch!r}); recurrent models stream via "
                 "StreamingSession — construct with make_streaming_session()"
             )
+        if cfg.onset_channel:
+            raise ValueError(
+                "onset_channel models cannot stream exactly yet: the "
+                "causal c0-flux channel needs one extra frame of left "
+                "context beyond the conv halo at every chunk boundary "
+                "— decode offline (infer/decode.py) instead"
+            )
         if cfg.moe_experts > 1:
             raise ValueError(
                 "MoE generators are not streamable: the expert capacity "

@@ -359,6 +359,14 @@ class StreamingSession(_ChunkedSession):
                 "via the KV-cache session — construct with "
                 "make_streaming_session(), which dispatches on cfg.arch"
             )
+        if cfg.onset_channel:
+            raise ValueError(
+                "onset_channel models cannot stream exactly yet: the "
+                "causal c0-flux channel needs one extra frame of left "
+                "context beyond the conv halo, so chunked application "
+                "would diverge from offline decode at chunk boundaries "
+                "— decode offline (infer/decode.py) instead"
+            )
         params = g_params.get("params", g_params)
         self._params = params
         self._cfg = cfg

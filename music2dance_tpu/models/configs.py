@@ -65,6 +65,13 @@ class GeneratorConfig:
     moe_capacity: float = 1.25     # per-expert slots = ceil(cap*topk*T/E);
     #   tokens over capacity pass through the block's residual unchanged
     head_hidden: int = 256
+    # structural conditioning (round 5): append the causal positive flux
+    # of MFCC c0 as an explicit onset input channel before the audio
+    # encoder (models/generator.append_onset_channel). Plain-step + full
+    # clip decode only — TBPTT windows and streaming sessions would see
+    # a different channel at window/chunk boundaries, so both gate it
+    # out loudly.
+    onset_channel: bool = False
     residual_pose: bool = True     # predict pose deltas, integrate over time
     autoregressive: bool = True    # feed previous pose back into the core
     dtype: str = "float32"         # compute dtype ("bfloat16" for MXU speed);

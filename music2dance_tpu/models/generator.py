@@ -30,6 +30,28 @@ from .configs import GeneratorConfig
 Carry = Any  # (rnn_carry, prev_pose [B, P])
 
 
+def append_onset_channel(feats: jax.Array) -> jax.Array:
+    """[B, T, F] -> [B, T, F+1]: explicit onset channel for the generator.
+
+    The channel is the CAUSAL positive temporal flux of MFCC c0 (with an
+    orthonormal DCT, c0 = sqrt(M) x mean log-mel — the onset signal the
+    eval metric beats against; train/conditioning.py derives the same
+    proxy). No whole-clip normalization on purpose: c0 is already
+    standardized by the frontend's per-clip normalize, and keeping the
+    channel local (one-frame lookback, zero at t=0) is what makes it
+    exact for full-clip training and decode. Structural-conditioning
+    lever (round-5): the beat->motion coupling becomes a direct input
+    the generator can gate on, instead of something the beat auxiliary
+    must carve into the weights against the adversarial gradient.
+    """
+    c0 = feats[..., 0]
+    flux = jnp.maximum(c0[:, 1:] - c0[:, :-1], 0.0)
+    flux = jnp.pad(flux, ((0, 0), (1, 0)))
+    return jnp.concatenate(
+        [feats, flux[..., None].astype(feats.dtype)], axis=-1
+    )
+
+
 class AudioEncoder(nn.Module):
     """Temporal conv stack over [B, T, F] -> [B, T, enc_dim]."""
 
@@ -38,6 +60,8 @@ class AudioEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats):
         x = feats
+        if self.cfg.onset_channel:
+            x = append_onset_channel(x)
         for l in range(self.cfg.enc_layers):
             x = nn.Conv(self.cfg.enc_dim, (self.cfg.enc_kernel,), padding="SAME",
                         name=f"conv_{l}", dtype=self.cfg.dtype)(x)

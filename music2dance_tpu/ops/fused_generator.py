@@ -344,6 +344,10 @@ def compute_gi_static(params: Any, cfg: GeneratorConfig, feats: jax.Array, z: ja
     single-pass MXU and gi_static DMAs at half width."""
     cdt = compute_dtype(cfg)
     x = feats.astype(cdt)
+    if cfg.onset_channel:
+        from ..models.generator import append_onset_channel
+
+        x = append_onset_channel(x)
     for l in range(cfg.enc_layers):
         leaf = params["encoder"][f"conv_{l}"]
         x = jax.lax.conv_general_dilated(

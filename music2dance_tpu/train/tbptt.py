@@ -75,6 +75,14 @@ def make_tbptt_machinery(
             "full clips (its attention context is the whole clip — use "
             "the plain train step)"
         )
+    if gan.generator.onset_channel:
+        raise ValueError(
+            "onset_channel is a plain-step lever: the causal c0-flux "
+            "channel is computed per forward call, so a TBPTT window "
+            "would zero the flux at every window boundary while "
+            "full-clip decode would not — train onset-channel models "
+            "with tbptt_window=0"
+        )
     if tc.mismatch_weight or tc.beat_loss_weight:
         raise ValueError(
             "mismatch_weight/beat_loss_weight are plain-step levers: the "

@@ -253,3 +253,59 @@ def test_beat_anneal_off_keeps_metric_surface():
     state = init_state(jax.random.key(1), gan, tc, batch)
     _, m = jax.jit(make_train_step(gan, tc))(state, batch)
     assert "beat_loss" in m and "beat_w" not in m
+
+
+def test_onset_channel_causal_and_exact():
+    """The structural onset channel (models/generator.append_onset_channel)
+    is the causal positive c0 flux: exact values, zero at t=0, and
+    invariant to future frames."""
+    from music2dance_tpu.models.generator import append_onset_channel
+
+    feats = jax.random.normal(jax.random.key(0), (2, 16, 5))
+    out = append_onset_channel(feats)
+    assert out.shape == (2, 16, 6)
+    np.testing.assert_array_equal(np.asarray(out[..., :5]), np.asarray(feats))
+    c0 = np.asarray(feats[..., 0])
+    expect = np.maximum(np.diff(c0, axis=1, prepend=c0[:, :1]), 0.0)
+    expect[:, 0] = 0.0
+    np.testing.assert_allclose(np.asarray(out[..., 5]), expect, rtol=1e-6)
+    # causality: perturbing frames >= 8 leaves the channel < 8 unchanged
+    feats2 = feats.at[:, 8:].add(1.0)
+    out2 = append_onset_channel(feats2)
+    np.testing.assert_array_equal(np.asarray(out2[:, :8, 5]),
+                                  np.asarray(out[:, :8, 5]))
+
+
+def test_onset_channel_generator_end_to_end():
+    """onset_channel=True trains through the plain step for BOTH families
+    and changes the forward (the channel is not a no-op); TBPTT and
+    streaming gate it out loudly."""
+    import dataclasses
+
+    from music2dance_tpu.models import build_generator
+    from music2dance_tpu.train.tbptt import make_tbptt_train_step
+
+    gan = _tiny()
+    gan_on = dataclasses.replace(
+        gan, generator=dataclasses.replace(gan.generator, onset_channel=True))
+    batch = _batch()
+    tc = TrainConfig(batch_size=4, beat_loss_weight=0.1)
+    state = init_state(jax.random.key(1), gan_on, tc, batch)
+    state, m = jax.jit(make_train_step(gan_on, tc))(state, batch)
+    assert all(bool(jnp.isfinite(jnp.mean(v))) for v in m.values())
+    # the channel feeds the encoder: first conv kernel gains an input row
+    k_on = state.g_params["params"]["encoder"]["conv_0"]["kernel"]
+    gen_off = build_generator(gan.generator)
+    p_off = gen_off.init(jax.random.key(1), batch["feats"],
+                         jnp.zeros((4, gan.generator.noise_dim)))
+    k_off = p_off["params"]["encoder"]["conv_0"]["kernel"]
+    assert k_on.shape[1] == k_off.shape[1] + 1
+    # gates
+    tc_tb = TrainConfig(batch_size=4, tbptt_window=4)
+    with pytest.raises(ValueError, match="onset_channel"):
+        make_tbptt_train_step(gan_on, tc_tb)
+    from music2dance_tpu.infer.streaming import StreamingSession
+
+    with pytest.raises(ValueError, match="onset_channel"):
+        StreamingSession(state.g_params, gan_on.generator,
+                         jnp.zeros((1, gan.generator.noise_dim)))

@@ -112,3 +112,18 @@ def test_shorter_than_time_block():
     got = fused_apply(params, gcfg, feats, z, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_forward_equals_xla_scan_onset_channel():
+    """Round-5 structural lever: the fused path's compute_gi_static must
+    apply the same onset-channel append as the flax AudioEncoder."""
+    import dataclasses
+
+    cfg, gen, params, feats, z = make_gen()
+    cfg = dataclasses.replace(cfg, onset_channel=True)
+    gen = Generator(cfg)
+    params = gen.init(jax.random.key(2), feats, z)
+    ref = gen.apply(params, feats, z)
+    out = fused_apply(params, cfg, feats, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -111,6 +111,10 @@ flags.DEFINE_float("beat_loss_final", 0.0, "annealed floor for --beat_loss "
 flags.DEFINE_integer("beat_loss_anneal_steps", 0, "cosine-anneal the beat "
                      "aux weight from --beat_loss to --beat_loss_final "
                      "over this many steps (0 = constant weight)")
+flags.DEFINE_bool("onset_channel", False, "structural conditioning: append "
+                  "the causal c0-flux onset channel to the generator's "
+                  "audio input (models/generator.append_onset_channel); "
+                  "plain-step + offline-decode only")
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
@@ -186,6 +190,16 @@ def main(argv):
                 generator=dataclasses.replace(p.gan.generator, **over),
                 discriminator=dataclasses.replace(p.gan.discriminator, **over),
             ),
+        )
+    if FLAGS.onset_channel:
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, gan=dataclasses.replace(
+                p.gan, generator=dataclasses.replace(
+                    p.gan.generator, onset_channel=True,
+                )
+            )
         )
     if FLAGS.moe_experts > 0:
         import dataclasses
