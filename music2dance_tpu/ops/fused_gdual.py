@@ -336,6 +336,10 @@ def compute_gi_multi(params, cfg: GeneratorConfig, feats: jax.Array, zs):
     feats, z) — same op order, same dtypes."""
     cdt = compute_dtype(cfg)
     x = feats.astype(cdt)
+    if cfg.onset_channel:
+        from ..models.generator import append_onset_channel
+
+        x = append_onset_channel(x)
     for l in range(cfg.enc_layers):
         leaf = params["encoder"][f"conv_{l}"]
         x = jax.lax.conv_general_dilated(

@@ -102,3 +102,25 @@ def test_fwd_branch_stops_gradient():
 
     g = jax.grad(loss)(params)
     assert all(float(jnp.abs(x).max()) == 0.0 for x in jax.tree.leaves(g))
+
+
+def test_onset_channel_matches_flax_forward():
+    """Round-5 structural lever: compute_gi_multi must append the onset
+    channel exactly like the flax AudioEncoder / compute_gi_static — the
+    cond_onset TPU run crashed on the 20-vs-21 conv channel mismatch when
+    only fused_generator.py carried the append."""
+    import dataclasses
+
+    cfg, _, feats, zs = setup(layers=1)
+    cfg = dataclasses.replace(cfg, onset_channel=True)
+    gen = Generator(cfg)
+    params = gen.init(jax.random.key(9), feats, zs[0])
+    fakes_fwd, fake_g = fused_dual_apply(
+        params, cfg, feats, zs[:1], zs[1], interpret=True
+    )
+    ref_fwd = gen.apply(params, feats, zs[0])
+    ref_g = gen.apply(params, feats, zs[1])
+    np.testing.assert_allclose(np.asarray(fakes_fwd[0]), np.asarray(ref_fwd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fake_g), np.asarray(ref_g),
+                               rtol=1e-5, atol=1e-5)
