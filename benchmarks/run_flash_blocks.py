@@ -1,0 +1,98 @@
+"""Flash-attention block-size tuning at the 180 s decode shape.
+
+run_attn_profile.py measured the stock flash kernel (all blocks 128) at
+~147 ms per layer on [B=64, h=4, Tp=5504, hd=128] causal bf16 — ~13.5
+TFLOP/s, ~7% of the chip. The kernel grid is (B, h, Tq/bq, Tk/bk) with
+block_b=1: 128-wide tiles leave the MXU mostly idle between grid steps.
+This bench times the SAME kernel at wider q/k blocks to pick the decode
+path's production block sizes (models/transformer._flash_attention).
+
+Run: python benchmarks/run_flash_blocks.py [--seconds 180 --batch 64]
+Each variant is one compile (~minutes on this tunneled chip) — the
+variant list is short on purpose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.harness import emit, force
+from music2dance_tpu.audio import AudioConfig
+
+
+def bench_variant(q, k, v, causal, bq, bk, reps=10):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, h, tp, hd = q.shape
+    bq = min(bq, tp)
+    bk = min(bk, tp)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    fn = jax.jit(functools.partial(
+        flash_attention, causal=causal,
+        sm_scale=1.0 / float(np.sqrt(hd)), block_sizes=bs))
+    out = fn(q, k, v)
+    force(out)
+    force(fn(q, k, v))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        force(fn(q, k, v))
+    dt = (time.perf_counter() - t0) / reps
+    flops = 4 * b * h * tp * tp * hd * (0.5 if causal else 1.0)
+    emit("flash_block_variant", block_q=bq, block_k=bk, t=tp,
+         ms=round(dt * 1e3, 2), tflops_per_sec=round(flops / dt / 1e12, 1))
+    return dt, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=180.0)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--head_dim", type=int, default=128)
+    args = ap.parse_args()
+
+    audio = AudioConfig()
+    t = audio.num_frames(audio.num_samples(args.seconds))
+    tp = -(-t // 128) * 128
+    rng = np.random.default_rng(0)
+    shape = (args.batch, args.heads, tp, args.head_dim)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
+                           jnp.bfloat16) for _ in range(3))
+
+    ref = None
+    best = (1e9, None)
+    for bq, bk in [(128, 128), (512, 512), (256, 1024), (512, 1024)]:
+        dt, out = bench_variant(q, k, v, True, bq, bk)
+        if ref is None:
+            ref = out
+        else:
+            # block sizes must not change the math
+            diff = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                         - ref.astype(jnp.float32))))
+            emit("flash_block_parity", block_q=bq, block_k=bk,
+                 max_abs_diff=round(diff, 6))
+        if dt < best[0]:
+            best = (dt, (bq, bk))
+    emit("flash_block_best", block_q=best[1][0], block_k=best[1][1],
+         ms=round(best[0] * 1e3, 2))
+
+
+if __name__ == "__main__":
+    main()

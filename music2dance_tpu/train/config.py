@@ -54,6 +54,18 @@ class TrainConfig:
     #   class, weight * E[D(real, wrong_audio)] added to the critic loss
     #   — forces the critic (and through it, G) to use the audio
     #   (train/conditioning.py). Requires a conditional critic.
+    joint_gp: bool = False         # conditional-WGAN-GP completeness: the
+    #   gradient penalty bounds the critic over the JOINT (poses, audio)
+    #   input — sqrt(|dD/dposes|^2 + |dD/dfeats|^2) at the interpolates —
+    #   instead of the pose direction only. The round-4 mismatch runs
+    #   destabilized (FMD spikes to O(10^3)) exactly because the
+    #   mismatch class rewards audio-sensitivity that the pose-only GP
+    #   never bounds: the critic is Lipschitz in poses but unbounded in
+    #   feats. With mismatch on, the audio coordinate interpolates
+    #   real->rolled feats on the same per-example line as the poses
+    #   (the WGAN-GP straight-line coupling, in the joint input space).
+    #   XLA critic phase only (the fused GP kernels differentiate wrt
+    #   poses); requires a conditional critic.
     beat_loss_weight: float = 0.0  # G aux: differentiable twin of the
     #   eval beat-alignment metric (negated max lag-windowed correlation
     #   between generated speed envelope and the MFCC-c0 onset proxy) —
@@ -91,6 +103,12 @@ class TrainConfig:
     # checkpointing / logging / eval cadence
     ckpt_every: int = 500
     ckpt_keep: int = 3             # step-numbered history depth (orbax GC)
+    best_metric: str = "fmd"       # eval metric the best/ checkpoint slot
+    #   tracks (any Evaluator key: fmd, beat_alignment, diversity, ...).
+    #   A GAN's best checkpoint is rarely its last; WHICH metric defines
+    #   "best" depends on the goal — fidelity runs keep the fmd minimum,
+    #   conditioning runs (round 5) keep the beat_alignment maximum.
+    best_mode: str = "min"         # "min" | "max" for best_metric
     # size-aware checkpoint cadence: hold checkpoint TRAFFIC (state bytes
     # per training step) at or below this budget by raising ckpt_every
     # for big states. The device->host fetch of the state is what an

@@ -207,10 +207,14 @@ def _train_from_store_guarded(
     writer = (
         CheckpointWriter(
             ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep,
-            # best-by-eval retention: keep the eval_fmd minimum alongside
-            # the latest-N history (a GAN's best checkpoint is rarely its
-            # last — the 30k flagship run bottomed at step 20k)
-            best_metric="fmd" if evaluator is not None else None,
+            # best-by-eval retention: keep the tc.best_metric optimum
+            # alongside the latest-N history (a GAN's best checkpoint is
+            # rarely its last — the 30k flagship run bottomed at step 20k;
+            # round-5 conditioning runs track the beat_alignment maximum
+            # because their late-phase divergence is exactly the failure
+            # the best slot must survive)
+            best_metric=tc.best_metric if evaluator is not None else None,
+            best_mode=tc.best_mode,
         )
         if ckpt_dir is not None else None
     )
@@ -391,7 +395,8 @@ def _train_guarded(
     writer = (
         CheckpointWriter(
             ckpt_dir, gan, audio, tc, max_to_keep=tc.ckpt_keep,
-            best_metric="fmd" if evaluator is not None else None,
+            best_metric=tc.best_metric if evaluator is not None else None,
+            best_mode=tc.best_mode,
         )
         if ckpt_dir is not None else None
     )

@@ -173,6 +173,12 @@ def make_train_step(
             "(tests/test_grad_accum.py). Run mismatch training with "
             "grad_accum=1."
         )
+    if tc.joint_gp and not cond:
+        raise ValueError(
+            "joint_gp bounds the critic's (poses, audio) gradient jointly "
+            "— an unconditional critic has no audio input to bound; drop "
+            "joint_gp or use a conditional critic"
+        )
 
     def pmean(x):
         if axis_name is None:
@@ -244,6 +250,13 @@ def make_train_step(
         gen_interpret = True
         fused_gen_ok = fused_critic_ok = False
 
+    if tc.joint_gp and fused_critic_ok:
+        warn_once(
+            "joint_gp routes the critic phase to the XLA path (the fused "
+            "GP kernels differentiate wrt poses only); real/fake scoring "
+            "still rides the fused critic scan"
+        )
+
     def sample_z(key, b, dtype, offset=0, device_b=None):
         keys = per_example_keys(key, b, offset, device_b)
         return jax.vmap(
@@ -304,7 +317,7 @@ def make_train_step(
         a = alpha.reshape((b,) + (1,) * (real.ndim - 1))
         x_hat = a * real + (1.0 - a) * fake
 
-        if fused_critic_ok:
+        if fused_critic_ok and not tc.joint_gp:
             from ..ops.fused_dcore import fused_d_phase, supports_d_core
 
             if supports_d_core(gan.discriminator, b, interpret=gen_interpret):
@@ -335,16 +348,44 @@ def make_train_step(
                 )
         else:
             x_all = jnp.concatenate([real, fake, x_hat], axis=0)
-            f_all = jnp.concatenate([feats] * 3, axis=0)
-            scores, pullback = jax.vjp(
-                lambda x: disc_apply(d_params, x, f_all), x_all
-            )
             sel = jnp.concatenate(
-                [jnp.zeros((2 * b,), scores.dtype), jnp.ones((b,), scores.dtype)]
+                [jnp.zeros((2 * b,), real.dtype), jnp.ones((b,), real.dtype)]
             )
-            (gx,) = pullback(sel)
-            g_hat = gx[2 * b :]
-            sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+            if tc.joint_gp:
+                # conditional-WGAN-GP: the Lipschitz bound covers the
+                # JOINT (poses, audio) input. The interpolate's audio
+                # coordinate runs along the same per-example line —
+                # toward the rolled (mismatched) feats when the mismatch
+                # class is on (the straight-line coupling between the
+                # (real, matched) and (fake, mismatched) classes),
+                # degenerate (constant feats) otherwise; either way the
+                # penalty includes the |dD/dfeats| component that the
+                # mismatch term rewards and the pose-only GP leaves
+                # unbounded (the round-4 FMD-spike mechanism).
+                if tc.mismatch_weight:
+                    from .conditioning import mismatch_pairs
+
+                    feats_hat = a * feats + (1.0 - a) * mismatch_pairs(feats)
+                else:
+                    feats_hat = feats
+                f_all = jnp.concatenate([feats, feats, feats_hat], axis=0)
+                scores, pullback = jax.vjp(
+                    lambda x, f: disc_apply(d_params, x, f), x_all, f_all
+                )
+                gx, gf = pullback(sel.astype(scores.dtype))
+                g_hat, gf_hat = gx[2 * b :], gf[2 * b :]
+                sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
+                sq = sq + jnp.sum(
+                    gf_hat * gf_hat, axis=tuple(range(1, gf_hat.ndim))
+                )
+            else:
+                f_all = jnp.concatenate([feats] * 3, axis=0)
+                scores, pullback = jax.vjp(
+                    lambda x: disc_apply(d_params, x, f_all), x_all
+                )
+                (gx,) = pullback(sel.astype(scores.dtype))
+                g_hat = gx[2 * b :]
+                sq = jnp.sum(g_hat * g_hat, axis=tuple(range(1, g_hat.ndim)))
             norms = jnp.sqrt(sq + 1e-12)
             gp = jnp.mean((norms - 1.0) ** 2)
             s_real, s_fake = scores[:b], scores[b : 2 * b]

@@ -207,3 +207,36 @@ def test_best_checkpoint_retention(tmp_path):
         w.save(1, state)
     with pytest.raises(FileNotFoundError, match="best"):
         restore_checkpoint(plain, state, step="best")
+
+
+def test_best_slot_max_mode(tmp_path):
+    """best_mode='max' tracks the metric MAXIMUM — round-5 conditioning
+    runs keep the beat_alignment peak (their late-phase divergence is the
+    failure the slot must survive), while fidelity runs keep the fmd
+    minimum (default)."""
+    from music2dance_tpu.ckpt.orbax_io import (
+        CheckpointWriter,
+        best_step_info,
+        restore_checkpoint,
+    )
+
+    import jax.numpy as jnp
+
+    tc = TrainConfig(batch_size=4)
+    batch = synthetic_batch(jax.random.key(0), 4, 0.5, AUDIO, LAYOUT,
+                            through_frontend=False)
+    state = init_state(jax.random.key(0), GAN, tc, batch)
+    path = str(tmp_path / "best_max")
+    vals = {1: 0.10, 2: 0.54, 3: 0.30, 4: 0.01}
+    with CheckpointWriter(path, GAN, AUDIO, tc, max_to_keep=2,
+                          best_metric="beat_alignment",
+                          best_mode="max") as w:
+        for s, v in vals.items():
+            st = state.replace(step=jnp.asarray(s, jnp.int32))
+            w.save(s, st)
+            saved = w.maybe_save_best(s, st, {"beat_alignment": v})
+            assert saved == (v == max(list(vals.values())[:s]))
+    meta = best_step_info(path)
+    assert meta == {"step": 2, "metric": "beat_alignment", "value": 0.54}
+    best = restore_checkpoint(path, state, step="best")
+    assert int(best.step) == 2

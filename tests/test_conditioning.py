@@ -309,3 +309,91 @@ def test_onset_channel_generator_end_to_end():
     with pytest.raises(ValueError, match="onset_channel"):
         StreamingSession(state.g_params, gan_on.generator,
                          jnp.zeros((1, gan.generator.noise_dim)))
+
+
+# ---------------------------------------------------------------------------
+# Joint (poses, audio) gradient penalty — round-5 conditional-WGAN-GP
+# completeness (the round-4 mismatch instability mechanism)
+# ---------------------------------------------------------------------------
+
+def _zero_audio_path(state, gan):
+    """Zero the critic's feats input channels (conv_0 kernel columns past
+    pose_dim) so D is provably independent of audio."""
+    import copy
+
+    d = copy.deepcopy(jax.device_get(state.d_params))
+    pd = gan.generator.pose_dim
+    k = jnp.asarray(d["params"]["conv_0"]["kernel"])
+    d["params"]["conv_0"]["kernel"] = k.at[:, pd:, :].set(0.0)
+    return state.replace(d_params=d)
+
+
+def test_joint_gp_requires_conditional_critic():
+    gan = _tiny()
+    gan = dataclasses.replace(
+        gan,
+        discriminator=dataclasses.replace(gan.discriminator,
+                                          conditional=False),
+    )
+    with pytest.raises(ValueError, match="joint_gp"):
+        make_train_step(gan, TrainConfig(batch_size=4, joint_gp=True))
+
+
+@pytest.mark.parametrize("mis", [0.0, 0.5])
+def test_joint_gp_equals_pose_gp_for_audio_blind_critic(mis):
+    """With the critic's feats channels zeroed, |dD/dfeats| == 0 and the
+    joint GP must equal the pose-only GP exactly (identical alpha/z keys),
+    with or without the mismatch class (whose rolled-feats interpolate the
+    blind critic also cannot see)."""
+    gan = _tiny()
+    batch = _batch()
+    gps = {}
+    for jgp in (False, True):
+        tc = TrainConfig(batch_size=4, joint_gp=jgp, mismatch_weight=mis)
+        state = _zero_audio_path(init_state(jax.random.key(1), gan, tc, batch),
+                                 gan)
+        _, m = jax.jit(make_train_step(gan, tc))(state, batch)
+        gps[jgp] = float(m["gp"])
+    assert np.isfinite(gps[True])
+    assert gps[True] == pytest.approx(gps[False], rel=1e-6)
+
+
+def test_joint_gp_sees_audio_sensitivity():
+    """With a live audio path the joint penalty includes the audio-
+    direction gradient the pose-only GP ignores — the values must differ
+    (that difference IS the unbounded direction of the round-4 runs)."""
+    gan = _tiny()
+    batch = _batch()
+    gps = {}
+    for jgp in (False, True):
+        tc = TrainConfig(batch_size=4, joint_gp=jgp, mismatch_weight=0.5)
+        state = init_state(jax.random.key(1), gan, tc, batch)
+        _, m = jax.jit(make_train_step(gan, tc))(state, batch)
+        gps[jgp] = float(m["gp"])
+    assert np.isfinite(gps[True]) and np.isfinite(gps[False])
+    assert gps[True] != pytest.approx(gps[False], rel=1e-9)
+
+
+def test_joint_gp_full_recipe_step_trains():
+    """The round-5 v7 recipe in one step: joint_gp + mismatch + annealed
+    beat aux + onset channel + EMA — finite metrics, both trees update."""
+    gan = _tiny()
+    gan = dataclasses.replace(
+        gan, generator=dataclasses.replace(gan.generator, onset_channel=True))
+    tc = TrainConfig(batch_size=4, joint_gp=True, mismatch_weight=1.0,
+                     beat_loss_weight=0.5, beat_loss_anneal_steps=100,
+                     beat_loss_final=0.05, ema_decay=0.99)
+    batch = _batch()
+    state = init_state(jax.random.key(1), gan, tc, batch)
+    step = jax.jit(make_train_step(gan, tc))
+    s1, m = step(state, batch)
+    assert all(bool(jnp.isfinite(v)) for v in m.values())
+    assert {"gp", "mismatch_gap", "beat_loss", "beat_w"} <= set(m)
+    changed = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0,
+        state.g_params, s1.g_params)
+    assert any(jax.tree.leaves(changed))
+    changed_d = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0,
+        state.d_params, s1.d_params)
+    assert any(jax.tree.leaves(changed_d))

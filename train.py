@@ -104,6 +104,15 @@ flags.DEFINE_float("ema_decay", 0.0, "EMA of generator weights (0 = off); "
 flags.DEFINE_float("mismatch_weight", 0.0, "matching-aware critic term: "
                    "score (real poses, rolled audio) as an extra fake class "
                    "— forces audio-conditioning (train/conditioning.py)")
+flags.DEFINE_string("best_metric", "", "eval metric the best/ checkpoint "
+                    "slot tracks (default: preset's, fmd); e.g. "
+                    "beat_alignment for conditioning runs")
+flags.DEFINE_enum("best_mode", "", ["", "min", "max"], "direction for "
+                  "--best_metric (default: min; beat_alignment wants max)")
+flags.DEFINE_bool("joint_gp", False, "gradient penalty over the JOINT "
+                  "(poses, audio) critic input — bounds the audio-"
+                  "sensitivity the mismatch class rewards (conditional-"
+                  "WGAN-GP completeness; XLA critic phase)")
 flags.DEFINE_float("beat_loss", 0.0, "G auxiliary: differentiable twin of "
                    "the eval beat-alignment metric (0 = off)")
 flags.DEFINE_float("beat_loss_final", 0.0, "annealed floor for --beat_loss "
@@ -252,6 +261,12 @@ def main(argv):
         train_over["feature_matching_weight"] = FLAGS.feature_matching
     if FLAGS.mismatch_weight > 0:
         train_over["mismatch_weight"] = FLAGS.mismatch_weight
+    if FLAGS.joint_gp:
+        train_over["joint_gp"] = True
+    if FLAGS.best_metric:
+        train_over["best_metric"] = FLAGS.best_metric
+    if FLAGS.best_mode:
+        train_over["best_mode"] = FLAGS.best_mode
     if FLAGS.beat_loss > 0:
         train_over["beat_loss_weight"] = FLAGS.beat_loss
     if FLAGS.beat_loss_anneal_steps > 0:
