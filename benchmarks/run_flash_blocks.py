@@ -31,12 +31,25 @@ from music2dance_tpu.audio import AudioConfig
 
 
 def bench_variant(q, k, v, causal, bq, bk, reps=10):
+    """Times the kernel at q/k blocks (bq, bk). The kernel needs T
+    divisible by the block sizes, and the 128-aligned decode length
+    (5504 = 128 x 43, 43 prime) admits only 128 — so each variant pads
+    T up to lcm-of-blocks alignment. With ``causal`` the padded tail is
+    strictly in the future of every real row, so real-row outputs are
+    bit-identical across paddings (asserted by the parity check); the
+    TFLOP/s figure counts only the REAL rows' work, i.e. padding
+    overhead shows up as a lower effective rate, keeping variants
+    comparable."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
     )
 
-    b, h, tp, hd = q.shape
+    b, h, t, hd = q.shape
+    align = max(bq, bk, 128)
+    tp = -(-t // align) * align
+    pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
     bq = min(bq, tp)
     bk = min(bk, tp)
     bs = BlockSizes(
@@ -47,15 +60,15 @@ def bench_variant(q, k, v, causal, bq, bk, reps=10):
     fn = jax.jit(functools.partial(
         flash_attention, causal=causal,
         sm_scale=1.0 / float(np.sqrt(hd)), block_sizes=bs))
-    out = fn(q, k, v)
+    out = fn(qp, kp, vp)[:, :, :t]
     force(out)
-    force(fn(q, k, v))
+    force(fn(qp, kp, vp))
     t0 = time.perf_counter()
     for _ in range(reps):
-        force(fn(q, k, v))
+        force(fn(qp, kp, vp))
     dt = (time.perf_counter() - t0) / reps
-    flops = 4 * b * h * tp * tp * hd * (0.5 if causal else 1.0)
-    emit("flash_block_variant", block_q=bq, block_k=bk, t=tp,
+    flops = 4 * b * h * t * t * hd * (0.5 if causal else 1.0)
+    emit("flash_block_variant", block_q=bq, block_k=bk, t_padded=tp,
          ms=round(dt * 1e3, 2), tflops_per_sec=round(flops / dt / 1e12, 1))
     return dt, out
 
@@ -70,9 +83,8 @@ def main():
 
     audio = AudioConfig()
     t = audio.num_frames(audio.num_samples(args.seconds))
-    tp = -(-t // 128) * 128
     rng = np.random.default_rng(0)
-    shape = (args.batch, args.heads, tp, args.head_dim)
+    shape = (args.batch, args.heads, t, args.head_dim)
     q, k, v = (jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
                            jnp.bfloat16) for _ in range(3))
 

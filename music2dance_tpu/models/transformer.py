@@ -104,9 +104,19 @@ def use_flash_attention(t: int, head_dim: int, impl: str) -> bool:
 
 def _flash_attention(q, k, v, causal: bool):
     """q, k, v [B, T, h, hd] -> [B, T, h, hd] via the Pallas TPU flash
-    kernel. T is padded to a multiple of 128: with ``causal`` the padded
-    tail sits strictly in the future of every real query (bit-exact by
-    masking), without it the pad rows are masked out via segment ids."""
+    kernel. T is padded to the block alignment: with ``causal`` the
+    padded tail sits strictly in the future of every real query
+    (bit-exact by masking), without it the pad rows are masked out via
+    segment ids.
+
+    Block sizes are length-routed (benchmarks/run_flash_blocks.py,
+    measured on v5e at the 180 s decode shape [64, 4, 5504, 128]):
+    128-wide blocks leave the MXU idle between grid steps — 10.7
+    TFLOP/s; 512-wide blocks hit 39.0 TFLOP/s (3.7x), worth the extra
+    end-padding (T rounds up to 512 instead of 128; a causal pad is
+    free for real rows). Long sequences (t >= 2048 — the song-decode
+    regime) take 512; shorter ones keep 128, whose training backward
+    (attn_long, T=905) is the measured 21.3 steps/s configuration."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,
@@ -114,7 +124,8 @@ def _flash_attention(q, k, v, causal: bool):
     )
 
     b, t, h, hd = q.shape
-    tp = -(-t // 128) * 128
+    align = 512 if t >= 2048 else 128
+    tp = -(-t // align) * align
     pad = [(0, 0), (0, tp - t), (0, 0), (0, 0)]
     qt, kt, vt = (jnp.transpose(jnp.pad(x, pad), (0, 2, 1, 3))
                   for x in (q, k, v))  # [B, h, Tp, hd]
@@ -122,7 +133,7 @@ def _flash_attention(q, k, v, causal: bool):
     if not causal and tp != t:
         ids = (jnp.arange(tp) >= t).astype(jnp.int32)[None].repeat(b, 0)
         seg = SegmentIds(ids, ids)
-    blk = min(128, tp)
+    blk = min(align, tp)
     bs = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
