@@ -109,6 +109,13 @@ class TrainConfig:
     #   "best" depends on the goal — fidelity runs keep the fmd minimum,
     #   conditioning runs (round 5) keep the beat_alignment maximum.
     best_mode: str = "min"         # "min" | "max" for best_metric
+    best_fmd_gate: float = 0.0     # >0: an eval is eligible for the best/
+    #   slot only when its fmd <= this. Guards metric-maximizing slots
+    #   against pre-convergence garbage: an off-manifold generator can
+    #   score a high "beat alignment" on degenerate motion (measured:
+    #   the moe_cond run's step-500 eval read alignment 0.395 at FMD
+    #   7989), so conditioning runs gate the alignment maximum at
+    #   data-manifold fidelity (e.g. --best_fmd_gate 1.0).
     # size-aware checkpoint cadence: hold checkpoint TRAFFIC (state bytes
     # per training step) at or below this budget by raising ckpt_every
     # for big states. The device->host fetch of the state is what an

@@ -154,6 +154,20 @@ def train_from_store(
         guard.restore()
 
 
+def _best_eligible(tc, raw: dict) -> bool:
+    """Gate best-slot eligibility on data-manifold fidelity
+    (tc.best_fmd_gate): a metric-maximizing best slot must not capture a
+    pre-convergence eval whose motion is degenerate (an off-manifold
+    generator can score high "alignment" on garbage)."""
+    if tc.best_fmd_gate <= 0:
+        return True
+    import math
+
+    f = raw.get("fmd")
+    return (f is not None and math.isfinite(float(f))
+            and float(f) <= tc.best_fmd_gate)
+
+
 def _train_from_store_guarded(
     gan, tc, audio, store, total_steps, guard,
     ckpt_dir=None, log_dir=None, mesh=None, state=None, seed=0,
@@ -297,7 +311,7 @@ def _train_from_store_guarded(
                 row = {f"eval_{k}": v for k, v in raw.items()}
                 row["eval_seconds"] = _time.perf_counter() - t_ev
                 logger.log(done, row)
-                if writer is not None:
+                if writer is not None and _best_eligible(tc, raw):
                     writer.maybe_save_best(done, state, raw)
             if do_ckpt:
                 writer.save(done, state)  # async: returns immediately
@@ -450,7 +464,7 @@ def _train_guarded(
                 row = {f"eval_{k}": v for k, v in raw.items()}
                 row["eval_seconds"] = _t.perf_counter() - t_ev
                 logger.log(int(i + 1), row)
-                if writer is not None:
+                if writer is not None and _best_eligible(tc, raw):
                     writer.maybe_save_best(i + 1, state, raw)
             if writer is not None and ckpt_every > 0 and (i + 1) % ckpt_every == 0:
                 writer.save(i + 1, state)  # async: training continues

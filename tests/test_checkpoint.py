@@ -240,3 +240,18 @@ def test_best_slot_max_mode(tmp_path):
     assert meta == {"step": 2, "metric": "beat_alignment", "value": 0.54}
     best = restore_checkpoint(path, state, step="best")
     assert int(best.step) == 2
+
+
+def test_best_fmd_gate():
+    """tc.best_fmd_gate: evals above the fidelity gate are ineligible for
+    the best slot — the moe_cond run's step-500 'alignment 0.395 at FMD
+    7989' must not be captured."""
+    from music2dance_tpu.train.loop import _best_eligible
+
+    tc = TrainConfig(batch_size=4, best_fmd_gate=1.0)
+    assert _best_eligible(tc, {"fmd": 0.3, "beat_alignment": 0.5})
+    assert not _best_eligible(tc, {"fmd": 7989.0, "beat_alignment": 0.39})
+    assert not _best_eligible(tc, {"fmd": float("nan")})
+    assert not _best_eligible(tc, {"beat_alignment": 0.5})  # no fmd key
+    # gate off: everything eligible
+    assert _best_eligible(TrainConfig(batch_size=4), {"fmd": 1e9})

@@ -146,3 +146,33 @@ def test_evaluator_beat_alignment_with_waves():
     assert np.isfinite(out["beat_alignment"])
     # real beat-driven motion scores clearly positive alignment
     assert out["real_beat_alignment"] > 0.15, out["real_beat_alignment"]
+
+
+def test_train_loop_best_slot_respects_fmd_gate(tmp_path):
+    """Loop-level round-5 regression: with --best_metric beat_alignment
+    --best_mode max --best_fmd_gate, a pre-convergence eval with sky-high
+    FMD must NOT win the best slot even if its 'alignment' reads high
+    (the moe_cond step-500 hazard: alignment 0.395 at FMD 7989)."""
+    from music2dance_tpu.ckpt.orbax_io import best_step_info
+
+    tc = TrainConfig(batch_size=4, n_critic=1, eval_every=2, log_every=2,
+                     ckpt_every=2, best_metric="beat_alignment",
+                     best_mode="max", best_fmd_gate=1.0)
+    src = SyntheticClipSource(8, 0.5, AUDIO, LAYOUT)
+    tr, _ = split_source(src, val_fraction=0.25, seed=0)
+    ds = make_dataset(tr, 4, 0.5, AUDIO, seed=0)
+
+    scripted = iter([
+        {"fmd": 7989.0, "beat_alignment": 0.9},   # step 2: garbage motion
+        {"fmd": 0.3, "beat_alignment": 0.2},      # step 4: on-manifold
+    ])
+
+    def fake_evaluator(state):  # the loop only needs a callable
+        return next(scripted)
+
+    ckpt_dir = str(tmp_path / "gate_ckpt")
+    train(GAN, tc, AUDIO, iter(ds), total_steps=4, ckpt_dir=ckpt_dir,
+          evaluator=fake_evaluator)
+    meta = best_step_info(ckpt_dir)
+    assert meta is not None, "gated run should still capture the eligible eval"
+    assert meta["step"] == 4 and meta["value"] == 0.2, meta

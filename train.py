@@ -109,6 +109,10 @@ flags.DEFINE_string("best_metric", "", "eval metric the best/ checkpoint "
                     "beat_alignment for conditioning runs")
 flags.DEFINE_enum("best_mode", "", ["", "min", "max"], "direction for "
                   "--best_metric (default: min; beat_alignment wants max)")
+flags.DEFINE_float("best_fmd_gate", 0.0, "only evals with fmd <= this are "
+                   "eligible for the best/ slot (0 = off) — keeps a "
+                   "metric-maximizing slot from capturing pre-convergence "
+                   "garbage motion")
 flags.DEFINE_bool("joint_gp", False, "gradient penalty over the JOINT "
                   "(poses, audio) critic input — bounds the audio-"
                   "sensitivity the mismatch class rewards (conditional-"
@@ -267,6 +271,8 @@ def main(argv):
         train_over["best_metric"] = FLAGS.best_metric
     if FLAGS.best_mode:
         train_over["best_mode"] = FLAGS.best_mode
+    if FLAGS.best_fmd_gate > 0:
+        train_over["best_fmd_gate"] = FLAGS.best_fmd_gate
     if FLAGS.beat_loss > 0:
         train_over["beat_loss_weight"] = FLAGS.beat_loss
     if FLAGS.beat_loss_anneal_steps > 0:
