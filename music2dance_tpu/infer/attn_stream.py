@@ -157,6 +157,12 @@ class TransformerStreamingSession(_ChunkedSession):
                 "context beyond the conv halo at every chunk boundary "
                 "— decode offline (infer/decode.py) instead"
             )
+        if cfg.film_cond:
+            raise ValueError(
+                "film_cond models cannot stream yet: the KV-cache chunk "
+                "program does not thread the per-block FiLM modulation "
+                "— decode offline (infer/decode.py) instead"
+            )
         if cfg.moe_experts > 1:
             raise ValueError(
                 "MoE generators are not streamable: the expert capacity "

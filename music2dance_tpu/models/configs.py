@@ -72,6 +72,17 @@ class GeneratorConfig:
     # a different channel at window/chunk boundaries, so both gate it
     # out loudly.
     onset_channel: bool = False
+    # FiLM conditioning (arch="transformer" only, round 5): every
+    # attention block's two pre-LN activations are modulated per frame
+    # by (1 + gamma) * h + beta, with gamma/beta projected from the
+    # audio encoding (zero-init projections — identity at init, the
+    # DiT/adaLN pattern). Makes audio-dependence STRUCTURAL inside
+    # every block instead of only at the input projection: the
+    # recurrent family's onset channel buys cheap beat-gating through
+    # pose feedback, which the feedback-free transformer lacks
+    # (measured: runs/moe_cond alignment 0.092 under the full loss
+    # recipe). Offline decode only (attn_stream gates it).
+    film_cond: bool = False
     residual_pose: bool = True     # predict pose deltas, integrate over time
     autoregressive: bool = True    # feed previous pose back into the core
     dtype: str = "float32"         # compute dtype ("bfloat16" for MXU speed);

@@ -299,15 +299,29 @@ class TransformerBlock(nn.Module):
     moe_capacity: float = 1.25
     attn_second_order: bool = True
 
+    def _film(self, h, cond, name):
+        """FiLM modulation (cfg.film_cond): per-frame (1+gamma)*h + beta
+        with gamma/beta projected from the audio encoding ``cond``
+        [B, T, C]. Zero-init kernels make this the identity at init (the
+        DiT/adaLN pattern — same rationale as the zero-init pose head)."""
+        gb = nn.Dense(2 * self.d_model, name=name, dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros)(cond)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        return h * (1.0 + gamma) + beta
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cond=None):
         h = nn.LayerNorm(name="ln1")(x)
+        if cond is not None:
+            h = self._film(h, cond, "film1")
         h = MultiHeadSelfAttention(
             self.d_model, self.heads, self.dtype, self.causal,
             self.attn_impl, self.attn_second_order, name="attn",
         )(h)
         x = x + h
         h = nn.LayerNorm(name="ln2")(x)
+        if cond is not None:
+            h = self._film(h, cond, "film2")
         if self.moe_experts > 1:
             h = MoEMLP(
                 self.d_model, self.moe_experts, self.moe_topk,
@@ -361,6 +375,11 @@ class TransformerGenerator(nn.Module):
             jnp.concatenate([enc, z_seq], axis=-1)
         )
         x = x + sinusoidal_positions(t, cfg.hidden_dim, x.dtype)[None]
+        # FiLM conditioning: the audio encoding modulates every block's
+        # pre-LN activations (configs.py film_cond rationale). ``enc``
+        # is causal-plus-conv-halo like the input projection's view of
+        # the audio, so decode semantics match training exactly.
+        cond = enc if cfg.film_cond else None
         for i in range(cfg.tr_blocks):
             x = TransformerBlock(
                 cfg.hidden_dim, cfg.tr_heads, cfg.tr_mlp_ratio,
@@ -369,7 +388,7 @@ class TransformerGenerator(nn.Module):
                 moe_capacity=cfg.moe_capacity,
                 attn_second_order=False,  # G never takes grad-of-grad
                 name=f"block_{i}",
-            )(x)
+            )(x, cond=cond)
         x = nn.LayerNorm(name="ln_f")(x)
         y = nn.relu(nn.Dense(cfg.head_hidden, name="head_fc",
                              dtype=cfg.dtype)(x))

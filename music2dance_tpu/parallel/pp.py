@@ -244,6 +244,13 @@ def make_pp_generator_apply(
     averaged (the ``gen_apply_aux`` contract)."""
     from ..models.transformer import TransformerBlock
 
+    if cfg.film_cond:
+        raise ValueError(
+            "film_cond is not supported under pipeline parallelism: the "
+            "stage schedule threads only the hidden activation between "
+            "stages, not the per-block FiLM conditioning tensor — train "
+            "FiLM models without --pp_stages"
+        )
     n_stage = mesh.shape[STAGE_AXIS]
     moe = cfg.moe_experts > 1
     block = TransformerBlock(

@@ -108,6 +108,12 @@ def make_pp_1f1b_g_vag(gan: GANConfig, tc: TrainConfig, mesh: Mesh,
             "interleaved schedule — use the GPipe pp_train_step for "
             "MoE generators (parallel/pp.py)"
         )
+    if cfg.film_cond:
+        raise ValueError(
+            "film_cond is not supported under pipeline parallelism: the "
+            "stage schedule threads only the hidden activation between "
+            "stages, not the per-block FiLM conditioning tensor"
+        )
     disc = build_discriminator(gan.discriminator)
     cond = gan.discriminator.conditional
     S = mesh.shape[STAGE_AXIS]

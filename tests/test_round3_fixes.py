@@ -74,7 +74,9 @@ def test_dcore_fallback_warns(monkeypatch):
     import music2dance_tpu.train.step as step_mod
 
     monkeypatch.setattr(dcore, "supports_d_core", lambda *a, **k: False)
-    monkeypatch.setattr(step_mod, "_warned", set())  # fresh dedupe set
+    from music2dance_tpu.utils import warn as warn_mod
+
+    monkeypatch.setattr(warn_mod, "_warned", set())  # fresh dedupe set
     tc = TrainConfig(batch_size=8, n_critic=1)
     batch = synthetic_batch(jax.random.key(3), 8, 0.5, AUDIO, LAYOUT,
                             through_frontend=False)
@@ -93,7 +95,9 @@ def test_store_loop_eval_cadence_rounded(tmp_path):
     from music2dance_tpu.train.loop import train_from_store
     import music2dance_tpu.train.step as step_mod
 
-    step_mod._warned.clear()
+    from music2dance_tpu.utils import warn as warn_mod
+
+    warn_mod._warned.clear()
     src = SyntheticClipSource(6, 1.0, AUDIO, LAYOUT, seed=0)
     store = DeviceFeatureStore.from_source(src, AUDIO, frontend_impl="xla")
     tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,
@@ -131,7 +135,9 @@ def test_store_loop_exact_multiple_no_warning(tmp_path):
     from music2dance_tpu.train.loop import train_from_store
     import music2dance_tpu.train.step as step_mod
 
-    step_mod._warned.clear()
+    from music2dance_tpu.utils import warn as warn_mod
+
+    warn_mod._warned.clear()
     src = SyntheticClipSource(6, 1.0, AUDIO, LAYOUT, seed=0)
     store = DeviceFeatureStore.from_source(src, AUDIO, frontend_impl="xla")
     tc = TrainConfig(batch_size=4, clip_seconds=10 / AUDIO.feature_rate,

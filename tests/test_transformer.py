@@ -261,3 +261,107 @@ def test_sinusoidal_positions():
     np.testing.assert_allclose(enc[0, 0::2], 0.0, atol=1e-7)  # sin(0)
     np.testing.assert_allclose(enc[0, 1::2], 1.0, atol=1e-7)  # cos(0)
     assert np.all(np.abs(enc) <= 1.0 + 1e-7)
+
+
+def test_film_cond_identity_at_init_and_learns_audio_dependence():
+    """Round-5 FiLM conditioning: zero-init projections make film_cond a
+    bit-exact no-op at init (same params otherwise -> same output), and
+    with nonzero film kernels the output depends on audio through every
+    block (perturbing feats changes poses even where the input projection
+    alone would dilute it)."""
+    from music2dance_tpu.models.configs import GeneratorConfig
+    from music2dance_tpu.models.transformer import TransformerGenerator
+
+    cfg = GeneratorConfig(
+        layout=JointLayout(n_joints=4, joint_dim=3), feature_dim=6,
+        noise_dim=4, enc_dim=8, enc_layers=1, hidden_dim=16, tr_blocks=2,
+        tr_heads=2, head_hidden=8, arch="transformer", attn_impl="xla",
+    )
+    cfg_f = dataclasses.replace(cfg, film_cond=True)
+    feats = jax.random.normal(jax.random.key(0), (2, 9, 6))
+    z = jax.random.normal(jax.random.key(1), (2, 4))
+    gen_f = TransformerGenerator(cfg_f)
+    params_f = gen_f.init(jax.random.key(2), feats, z)
+    # give the zero-init heads weight so outputs are nonzero
+    ho = params_f["params"]["head_out"]["kernel"]
+    params_f["params"]["head_out"]["kernel"] = jnp.ones_like(ho) * 0.05
+
+    # identity at init: drop the (all-zero) film params -> same output
+    plain = {"params": {k: v for k, v in params_f["params"].items()}}
+    for blk in ("block_0", "block_1"):
+        plain["params"][blk] = {k: v for k, v in params_f["params"][blk].items()
+                                if not k.startswith("film")}
+    out_f = gen_f.apply(params_f, feats, z)
+    out_p = TransformerGenerator(cfg).apply(plain, feats, z)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+
+    # nonzero film kernels: audio perturbation must change the output
+    for blk in ("block_0", "block_1"):
+        for fl in ("film1", "film2"):
+            k = params_f["params"][blk][fl]["kernel"]
+            params_f["params"][blk][fl]["kernel"] = (
+                jax.random.normal(jax.random.key(3), k.shape, k.dtype) * 0.1
+            )
+    out_a = gen_f.apply(params_f, feats, z)
+    out_b = gen_f.apply(params_f, feats + 0.5, z)
+    assert float(jnp.abs(out_a - out_b).max()) > 1e-4
+
+
+def test_film_cond_gates():
+    """film_cond is offline-decode only: the KV-cache streaming session
+    and both pipeline schedules reject it loudly."""
+    import pytest as _pytest
+
+    from music2dance_tpu.models.configs import GeneratorConfig
+
+    cfg = GeneratorConfig(
+        layout=JointLayout(n_joints=4, joint_dim=3), feature_dim=6,
+        noise_dim=4, enc_dim=8, enc_layers=1, hidden_dim=16, tr_blocks=2,
+        tr_heads=2, head_hidden=8, arch="transformer", film_cond=True,
+    )
+    from music2dance_tpu.infer.attn_stream import TransformerStreamingSession
+
+    with _pytest.raises(ValueError, match="film_cond"):
+        TransformerStreamingSession({"params": {}}, cfg,
+                                    jnp.zeros((1, cfg.noise_dim)))
+
+
+def test_film_cond_full_recipe_step_trains():
+    """FiLM + the round-5 conditioning recipe in one jitted step on the
+    attention family: finite metrics, film params receive gradient."""
+    from music2dance_tpu.models.configs import (
+        DiscriminatorConfig,
+        GANConfig,
+        GeneratorConfig,
+    )
+
+    L = JointLayout(n_joints=4, joint_dim=3)
+    gan = GANConfig(
+        generator=GeneratorConfig(
+            layout=L, feature_dim=6, noise_dim=4, enc_dim=8, enc_layers=1,
+            hidden_dim=16, tr_blocks=2, tr_heads=2, head_hidden=8,
+            arch="transformer", film_cond=True, onset_channel=True,
+        ),
+        discriminator=DiscriminatorConfig(
+            layout=L, feature_dim=6, conv_dim=8, hidden_dim=16,
+            tr_blocks=2, tr_heads=2, arch="transformer",
+        ),
+    )
+    tc = TrainConfig(batch_size=4, joint_gp=True, mismatch_weight=1.0,
+                     beat_loss_weight=0.5, ema_decay=0.99)
+    feats = jax.random.normal(jax.random.key(0), (4, 9, 6))
+    poses = jax.random.normal(jax.random.key(1), (4, 9, L.pose_dim)) * 0.1
+    batch = {"feats": feats, "poses": poses}
+    state = init_state(jax.random.key(2), gan, tc, batch)
+    step = jax.jit(make_train_step(gan, tc))
+    s1, m = step(state, batch)
+    assert all(bool(jnp.isfinite(v)) for v in m.values()), m
+    # the zero-init pose head blocks ALL upstream generator grads at step
+    # 1 (out = 0 regardless of film) — film params move from step 2 on,
+    # once head_out's kernel is nonzero
+    s2, m2 = step(s1, batch)
+    assert all(bool(jnp.isfinite(v)) for v in m2.values()), m2
+    g0 = state.g_params["params"]["block_0"]["film1"]["kernel"]
+    g2 = s2.g_params["params"]["block_0"]["film1"]["kernel"]
+    assert float(jnp.abs(g2 - g0).max()) > 0.0  # film params update

@@ -128,6 +128,9 @@ flags.DEFINE_bool("onset_channel", False, "structural conditioning: append "
                   "the causal c0-flux onset channel to the generator's "
                   "audio input (models/generator.append_onset_channel); "
                   "plain-step + offline-decode only")
+flags.DEFINE_bool("film_cond", False, "structural conditioning (attention "
+                  "family): FiLM-modulate every block's pre-LN activations "
+                  "from the audio encoding (zero-init; identity at init)")
 flags.DEFINE_float("feature_matching", 0.0, "MelGAN-style feature-matching "
                    "aux loss weight (0 = off)")
 flags.DEFINE_float("grad_clip", 0.0, "global-norm gradient clip (0 = off)")
@@ -211,6 +214,21 @@ def main(argv):
             p, gan=dataclasses.replace(
                 p.gan, generator=dataclasses.replace(
                     p.gan.generator, onset_channel=True,
+                )
+            )
+        )
+    if FLAGS.film_cond:
+        import dataclasses
+
+        if p.gan.generator.arch != "transformer":
+            raise app.UsageError(
+                "--film_cond modulates attention blocks — it needs the "
+                "attention family (--preset attn / attn_long)"
+            )
+        p = dataclasses.replace(
+            p, gan=dataclasses.replace(
+                p.gan, generator=dataclasses.replace(
+                    p.gan.generator, film_cond=True,
                 )
             )
         )
