@@ -75,11 +75,16 @@ def bench_variant(q, k, v, causal, bq, bk, reps=10):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--grad", action="store_true",
+                    help="training-shape fwd+bwd variants instead")
     ap.add_argument("--seconds", type=float, default=180.0)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--head_dim", type=int, default=128)
     args = ap.parse_args()
+    if args.grad:
+        main_grad()
+        return
 
     audio = AudioConfig()
     t = audio.num_frames(audio.num_samples(args.seconds))
@@ -104,6 +109,70 @@ def main():
             best = (dt, (bq, bk))
     emit("flash_block_best", block_q=best[1][0], block_k=best[1][1],
          ms=round(best[0] * 1e3, 2))
+
+
+
+def bench_grad_variant(q, k, v, causal, bq, bk, reps=10):
+    """Same variant timing through jax.grad (fwd + dq/dk/dv backward) —
+    decides whether the TRAINING path (attn_long G, T=905 -> pad 1024)
+    should also route to wide blocks."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, h, t, hd = q.shape
+    align = max(bq, bk, 128)
+    tp = -(-t // align) * align
+    pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    bq = min(bq, tp)
+    bk = min(bk, tp)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+
+    def loss(qq, kk, vv):
+        out = flash_attention(qq, kk, vv, causal=causal,
+                              sm_scale=1.0 / float(np.sqrt(hd)),
+                              block_sizes=bs)
+        return jnp.sum(out[:, :, :t].astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    force(g(qp, kp, vp)[0])
+    force(g(qp, kp, vp)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        force(g(qp, kp, vp)[0])
+    dt = (time.perf_counter() - t0) / reps
+    # fwd + recomputed fwd in bwd + dq + dkv ~ 3.5x fwd flops (causal)
+    flops = 3.5 * 4 * b * h * t * t * hd * (0.5 if causal else 1.0)
+    emit("flash_block_grad_variant", block_q=bq, block_k=bk, t_padded=tp,
+         ms=round(dt * 1e3, 2), tflops_per_sec=round(flops / dt / 1e12, 1))
+    return dt, g(qp, kp, vp)
+
+
+def main_grad():
+    """--grad mode: the attn_long training shape [16, 4, 905, 128]."""
+    rng = np.random.default_rng(0)
+    shape = (16, 4, 905, 128)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
+                           jnp.bfloat16) for _ in range(3))
+    ref = None
+    for bq, bk in [(128, 128), (512, 512)]:
+        dt, grads = bench_grad_variant(q, k, v, True, bq, bk)
+        if ref is None:
+            ref = grads
+        else:
+            worst = max(
+                float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b.astype(jnp.float32))))
+                for a, b in zip(grads, ref)
+            )
+            emit("flash_block_grad_parity", block_q=bq, block_k=bk,
+                 max_abs_diff=round(worst, 5))
 
 
 if __name__ == "__main__":
