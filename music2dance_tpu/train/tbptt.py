@@ -75,6 +75,15 @@ def make_tbptt_machinery(
             "full clips (its attention context is the whole clip — use "
             "the plain train step)"
         )
+    if tc.joint_gp:
+        raise ValueError(
+            "joint_gp is not implemented in the TBPTT critic phase (its "
+            "GP differentiates wrt window poses only) — running it here "
+            "would silently drop the audio-direction bound the flag "
+            "promises. Train conditioning recipes with the plain step "
+            "(the round-5 recipes all use 6 s clips), or extend "
+            "tbptt.d_loss_fn with the joint vjp first."
+        )
     if gan.generator.onset_channel:
         raise ValueError(
             "onset_channel is a plain-step lever: the causal c0-flux "

@@ -397,3 +397,14 @@ def test_joint_gp_full_recipe_step_trains():
         lambda a, b: float(jnp.abs(a - b).max()) > 0,
         state.d_params, s1.d_params)
     assert any(jax.tree.leaves(changed_d))
+
+
+def test_joint_gp_tbptt_rejected():
+    """TBPTT's critic phase has its own (pose-only) GP — requesting
+    joint_gp there must fail loudly rather than silently dropping the
+    audio-direction bound."""
+    from music2dance_tpu.train.tbptt import make_tbptt_train_step
+
+    with pytest.raises(ValueError, match="joint_gp"):
+        make_tbptt_train_step(
+            _tiny(), TrainConfig(batch_size=4, tbptt_window=4, joint_gp=True))
