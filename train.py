@@ -113,6 +113,10 @@ flags.DEFINE_float("best_fmd_gate", 0.0, "only evals with fmd <= this are "
                    "eligible for the best/ slot (0 = off) — keeps a "
                    "metric-maximizing slot from capturing pre-convergence "
                    "garbage motion")
+flags.DEFINE_float("drift_eps", 0.0, "critic drift regularizer "
+                   "eps * E[D(real)^2] (0 = off): bounds the critic's "
+                   "score scale, the zero-centered-GP-era damper for "
+                   "late-run adversarial runaway")
 flags.DEFINE_bool("joint_gp", False, "gradient penalty over the JOINT "
                   "(poses, audio) critic input — bounds the audio-"
                   "sensitivity the mismatch class rewards (conditional-"
@@ -291,6 +295,8 @@ def main(argv):
         train_over["best_mode"] = FLAGS.best_mode
     if FLAGS.best_fmd_gate > 0:
         train_over["best_fmd_gate"] = FLAGS.best_fmd_gate
+    if FLAGS.drift_eps > 0:
+        train_over["drift_eps"] = FLAGS.drift_eps
     if FLAGS.beat_loss > 0:
         train_over["beat_loss_weight"] = FLAGS.beat_loss
     if FLAGS.beat_loss_anneal_steps > 0:
